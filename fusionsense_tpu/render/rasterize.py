@@ -1,0 +1,170 @@
+"""Top-level differentiable Gaussian rasterizer (project -> bin -> composite).
+
+One call renders RGB + expected depth + world-space normal + alpha in a single
+compositing pass — fusing the reference's two CUDA rasterizer invocations
+(gsplat.rasterization at dn_splatter/dn_model.py:570-591 and the legacy
+rasterize_gaussians normals pass at :618-656) into one TPU program.
+
+Differentiable wrt means/quats/scales/opacities/colors/normals via XLA
+autodiff; the `mean2d_tap` dummy input surfaces per-Gaussian screen-space
+position gradients (take grad wrt it) for the densification schedule.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from fusionsense_tpu.core.cameras import Camera
+from fusionsense_tpu.core.sh import eval_sh
+from fusionsense_tpu.core.transforms import normalize, quat_to_rotmat
+from fusionsense_tpu.render.binning import bin_gaussians
+from fusionsense_tpu.render.composite import (
+    TileGrid,
+    composite_tiles,
+    pixel_features,
+    tiles_to_image,
+)
+from fusionsense_tpu.render.project import alpha_coefficients, project_gaussians
+
+
+@dataclasses.dataclass(frozen=True)
+class RasterizeConfig:
+    """Static rasterizer knobs (hashable -> usable as jit static arg)."""
+
+    tile_size: int = 16
+    tile_capacity: int = 512
+    max_tiles_per_gaussian: int = 32
+    tile_chunk: int = 64
+    near: float = 0.01
+    far: float = 1e10
+    eps2d: float = 0.3
+    antialiased: bool = False
+    sh_degree: int = 3
+    radius_clip: float = 0.0
+
+
+class RenderOutputs(NamedTuple):
+    rgb: jax.Array        # (H, W, 3)
+    depth: jax.Array      # (H, W) expected depth (alpha-weighted sum)
+    normal: jax.Array     # (H, W, 3) composited world-space normal
+    alpha: jax.Array      # (H, W) accumulation
+    mean2d: jax.Array     # (N, 2) screen positions (aux, non-diff path)
+    radius: jax.Array     # (N,) screen radii (0 = culled)
+    overflow: jax.Array   # scalar: tile-capacity overflow pair count
+    truncated: jax.Array  # scalar: per-Gaussian tile-cover truncation count
+
+
+def gaussian_flat_normals(
+    quats: jax.Array, scales: jax.Array, means: jax.Array, cam_origin: jax.Array
+) -> jax.Array:
+    """Per-Gaussian normal = rotation axis of the smallest scale, camera-facing.
+
+    Mirrors the reference's convention (dn_splatter/dn_model.py:618-643:
+    normals from min-scale axis, flipped toward the view direction).
+    """
+    R = quat_to_rotmat(quats)                       # (N, 3, 3) columns = axes
+    min_axis = jnp.argmin(scales, axis=-1)          # (N,)
+    onehot = jax.nn.one_hot(min_axis, 3, dtype=quats.dtype)  # (N, 3)
+    n = jnp.einsum("nij,nj->ni", R, onehot)
+    viewdir = normalize(means - cam_origin)
+    flip = jnp.sum(n * viewdir, axis=-1, keepdims=True) > 0
+    return jnp.where(flip, -n, n)
+
+
+def rasterize(
+    means: jax.Array,          # (N, 3)
+    quats: jax.Array,          # (N, 4) wxyz
+    scales: jax.Array,         # (N, 3) std-devs (activated, not log)
+    opacities: jax.Array,      # (N,) in (0, 1) (activated)
+    colors: jax.Array,         # (N, 3) RGB or (N, K, 3) SH coefficients
+    camera: Camera,
+    cfg: RasterizeConfig = RasterizeConfig(),
+    *,
+    normals: Optional[jax.Array] = None,   # (N, 3); default: min-scale axis
+    background: Optional[jax.Array] = None,  # (3,)
+    mean2d_tap: Optional[jax.Array] = None,  # (N, 2) zeros; grad tap
+) -> RenderOutputs:
+    N = means.shape[0]
+    grid = TileGrid(width=camera.width, height=camera.height, tile_size=cfg.tile_size)
+
+    if N == 0:  # static check: empty scene renders pure background
+        H, W = camera.height, camera.width
+        zero = jnp.zeros((H, W))
+        rgb = jnp.zeros((H, W, 3))
+        if background is not None:
+            rgb = rgb + background
+        return RenderOutputs(
+            rgb=rgb, depth=zero, normal=jnp.zeros((H, W, 3)), alpha=zero,
+            mean2d=jnp.zeros((0, 2)), radius=jnp.zeros((0,)),
+            overflow=jnp.zeros((), jnp.int32), truncated=jnp.zeros((), jnp.int32),
+        )
+
+    proj = project_gaussians(
+        means, quats, scales, opacities, camera,
+        near=cfg.near, far=cfg.far, eps2d=cfg.eps2d,
+        antialiased=cfg.antialiased, radius_clip=cfg.radius_clip,
+    )
+    mean2d = proj.mean2d
+    if mean2d_tap is not None:
+        mean2d = mean2d + mean2d_tap
+
+    op = opacities * (proj.compensation if cfg.antialiased else 1.0)
+    coeff = alpha_coefficients(mean2d, proj.conic, op, proj.valid)
+
+    # view-dependent color
+    cam_origin = camera.origin
+    if colors.ndim == 3:
+        viewdir = normalize(means - cam_origin)
+        rgb_g = jnp.clip(eval_sh(colors, viewdir, cfg.sh_degree) + 0.5, 0.0, None)
+    else:
+        rgb_g = colors
+
+    if normals is None:
+        normals = gaussian_flat_normals(quats, scales, means, cam_origin)
+
+    channels = jnp.concatenate(
+        [rgb_g, proj.depth[:, None], normals], axis=-1
+    )  # (N, 7)
+
+    # binning runs on non-differentiable integer machinery
+    bins = bin_gaussians(
+        jax.lax.stop_gradient(proj.mean2d),
+        jax.lax.stop_gradient(proj.radius),
+        jax.lax.stop_gradient(proj.depth),
+        width=camera.width, height=camera.height,
+        tile_size=cfg.tile_size, tile_capacity=cfg.tile_capacity,
+        max_tiles_per_gaussian=cfg.max_tiles_per_gaussian,
+    )
+
+    # gather per-tile data; empty slots (-1) -> index 0 but coeff forced dead
+    idx = jnp.maximum(bins.indices, 0)
+    tile_coeff = coeff[idx]                                   # (T, K, 6)
+    tile_coeff = jnp.where(
+        bins.mask[..., None],
+        tile_coeff,
+        jnp.zeros_like(tile_coeff).at[..., 5].set(-1e10),
+    )
+    tile_chan = jnp.where(bins.mask[..., None], channels[idx], 0.0)  # (T, K, 7)
+
+    feats = pixel_features(grid)
+    out_tiled, alpha_tiled = composite_tiles(
+        feats, tile_coeff, tile_chan, tile_chunk=cfg.tile_chunk
+    )
+
+    img = tiles_to_image(out_tiled, grid)                     # (H, W, 7)
+    alpha = tiles_to_image(alpha_tiled, grid)                 # (H, W)
+
+    rgb = img[..., 0:3]
+    depth = img[..., 3]
+    normal = img[..., 4:7]
+    if background is not None:
+        rgb = rgb + (1.0 - alpha)[..., None] * background
+
+    return RenderOutputs(
+        rgb=rgb, depth=depth, normal=normal, alpha=alpha,
+        mean2d=proj.mean2d, radius=proj.radius,
+        overflow=bins.overflow, truncated=bins.truncated,
+    )
