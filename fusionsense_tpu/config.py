@@ -1,0 +1,65 @@
+"""Single dataclass config tree for the whole framework.
+
+Replaces the reference's four config layers (python-module experiment config,
+GSReconstructionConfig CLI flattening, nerfstudio/tyro method specs, GLIP
+yacs — see SURVEY.md §5 config/flag system) with one frozen dataclass tree.
+Defaults reproduce the reference experiment schedule
+(reference configs/config.py:3-11 and dn_splatter/dn_config.py:14-143).
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+from fusionsense_tpu.gaussians.adc import ADCConfig
+from fusionsense_tpu.render.rasterize import RasterizeConfig
+
+
+@dataclasses.dataclass(frozen=True)
+class LossConfig:
+    ssim_lambda: float = 0.2            # splatfacto main-loss mix
+    depth_loss: str = "EdgeAwareLogL1"  # {MSE,L1,LogL1,HuberL1,EdgeAwareLogL1}
+    sensor_depth_lambda: float = 0.2    # reference configs/config.py:10
+    mono_depth_lambda: float = 0.2
+    depth_tolerance: float = 0.1        # ignore |err| below this (meters)
+    smooth_lambda: float = 0.1          # depth TV / edge-aware TV
+    use_depth_smooth_edge_aware: bool = True
+    normal_lambda: float = 0.4          # reference configs/config.py:11
+    normal_supervision: str = "mono"    # "mono" | "depth" (pseudo-normals)
+    use_normal_tv: bool = True
+    use_normal_cosine: bool = False
+    flatness_lambda: float = 1.0        # 2D-Gaussian min-scale loss
+    sparse_lambda: float = 0.0          # opacity entropy (optional)
+    touch_normal_lambda: float = 1.0    # reference dn_model.py:137
+
+
+@dataclasses.dataclass(frozen=True)
+class ModelConfig:
+    sh_degree: int = 3
+    sh_degree_interval: int = 1000      # activate one SH band per interval
+    rasterize: RasterizeConfig = RasterizeConfig()
+    binary_opacities: bool = True       # reference configs/config.py (on)
+    binary_opacity_threshold: float = 0.5
+    background: tuple = (0.0, 0.0, 0.0)
+    init_opacity: float = 0.1
+    capacity: int = 2 ** 18             # padded Gaussian slots
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    iterations: int = 15_000            # reference configs/config.py:3
+    adc: ADCConfig = ADCConfig()
+    add_touch_at: int = 1000            # reference configs/config.py:7
+    seed: int = 0
+    steps_per_save: int = 15_000
+    log_every: int = 100
+    scan_chunk: int = 100               # steps fused into one device dispatch
+
+
+@dataclasses.dataclass(frozen=True)
+class ExperimentConfig:
+    model: ModelConfig = ModelConfig()
+    train: TrainConfig = TrainConfig()
+    loss: LossConfig = LossConfig()
+    output_dir: str = "outputs"
+    experiment_name: str = "default"

@@ -1,0 +1,137 @@
+"""Iso-surface extraction: vectorized marching tetrahedra (host numpy).
+
+Replaces the reference's PyMCubes dependency (reference
+dn_splatter/export_mesh.py:699 marching cubes at iso 0.5). Marching
+*tetrahedra* is used instead of cubes: its 16-case table is derivable from
+first principles (no 256-entry lookup to transcribe), it is watertight on
+shared faces, and triangle orientation is fixed robustly afterwards from the
+scalar-field gradient instead of baked case orientations.
+
+Convention: "inside" is value < iso (SDF-style). Output normals point
+outward (toward increasing field value).
+"""
+from __future__ import annotations
+
+import numpy as np
+
+# 6-tetrahedron decomposition of a cube sharing the 0-6 diagonal.
+# Cube corner numbering: bit0 = +x, bit1 = +y, bit2 = +z.
+_TETS = [(0, 5, 1, 6), (0, 1, 2, 6), (0, 2, 3, 6),
+         (0, 3, 7, 6), (0, 7, 4, 6), (0, 4, 5, 6)]
+
+# per-case triangles; each triangle is 3 edges; each edge (inside, outside)
+_CASE_TRIS: dict[int, list] = {
+    0b0001: [((0, 1), (0, 2), (0, 3))],
+    0b0010: [((1, 0), (1, 3), (1, 2))],
+    0b0100: [((2, 0), (2, 1), (2, 3))],
+    0b1000: [((3, 0), (3, 2), (3, 1))],
+    0b0011: [((0, 2), (0, 3), (1, 2)), ((1, 2), (0, 3), (1, 3))],
+    0b0101: [((0, 1), (2, 1), (0, 3)), ((2, 1), (2, 3), (0, 3))],
+    0b1001: [((0, 1), (0, 2), (3, 1)), ((3, 1), (0, 2), (3, 2))],
+    0b0110: [((1, 0), (1, 3), (2, 0)), ((2, 0), (1, 3), (2, 3))],
+    0b1010: [((1, 0), (3, 0), (1, 2)), ((1, 2), (3, 0), (3, 2))],
+    0b1100: [((2, 0), (2, 1), (3, 0)), ((3, 0), (2, 1), (3, 1))],
+}
+for c in list(_CASE_TRIS):
+    comp = (~c) & 0b1111
+    if comp not in _CASE_TRIS:
+        _CASE_TRIS[comp] = [
+            tuple((b, a) for (a, b) in tri) for tri in _CASE_TRIS[c]
+        ]
+
+
+def marching_tetrahedra(
+    values: np.ndarray,             # (X, Y, Z) scalar field
+    iso: float = 0.0,
+    origin=(0.0, 0.0, 0.0),
+    spacing=1.0,
+    weld: bool = True,
+):
+    """Extract the iso-surface. Returns (vertices (V, 3), faces (F, 3))."""
+    values = np.asarray(values, np.float64)
+    X, Y, Z = values.shape
+    spacing = np.broadcast_to(np.asarray(spacing, np.float64), (3,))
+    origin = np.asarray(origin, np.float64)
+
+    # cube corner values, (X-1, Y-1, Z-1, 8)
+    corner_off = np.array(
+        [[b & 1, (b >> 1) & 1, (b >> 2) & 1] for b in range(8)])
+    v = np.empty((X - 1, Y - 1, Z - 1, 8), np.float64)
+    for b, (dx, dy, dz) in enumerate(corner_off):
+        v[..., b] = values[dx: X - 1 + dx, dy: Y - 1 + dy, dz: Z - 1 + dz]
+
+    # cube base coordinates
+    gx, gy, gz = np.meshgrid(np.arange(X - 1), np.arange(Y - 1),
+                             np.arange(Z - 1), indexing="ij")
+    base = np.stack([gx, gy, gz], axis=-1).reshape(-1, 3).astype(np.float64)
+    v = v.reshape(-1, 8)
+
+    # cheap prefilter: only cubes straddling the iso level
+    straddle = (v.min(axis=1) < iso) & (v.max(axis=1) >= iso)
+    v = v[straddle]
+    base = base[straddle]
+
+    tris = []
+    for tet in _TETS:
+        tv = v[:, list(tet)]                       # (M, 4)
+        inside = tv < iso
+        case = (inside[:, 0].astype(np.int32) + 2 * inside[:, 1]
+                + 4 * inside[:, 2] + 8 * inside[:, 3])
+        for c, case_tris in _CASE_TRIS.items():
+            m = case == c
+            if not m.any():
+                continue
+            vb = base[m]
+            vv = tv[m]
+            for tri in case_tris:
+                pts3 = []
+                for (a, b) in tri:
+                    va, vbv = vv[:, a], vv[:, b]
+                    t = (iso - va) / np.where(
+                        np.abs(vbv - va) < 1e-12, 1e-12, vbv - va)
+                    t = np.clip(t, 0.0, 1.0)
+                    pa = vb + corner_off[tet[a]]
+                    pb = vb + corner_off[tet[b]]
+                    pts3.append(pa + t[:, None] * (pb - pa))
+                tris.append(np.stack(pts3, axis=1))   # (m, 3, 3)
+
+    if not tris:
+        return np.zeros((0, 3), np.float32), np.zeros((0, 3), np.int64)
+    tri_pts = np.concatenate(tris, axis=0)             # (T, 3, 3) grid coords
+
+    # orientation: normal should align with +field gradient at the centroid
+    grad = np.stack(np.gradient(values), axis=-1)      # (X, Y, Z, 3)
+    cent = tri_pts.mean(axis=1)
+    ci = np.clip(np.round(cent).astype(np.int64), 0,
+                 [X - 1, Y - 1, Z - 1])
+    g = grad[ci[:, 0], ci[:, 1], ci[:, 2]]
+    n = np.cross(tri_pts[:, 1] - tri_pts[:, 0], tri_pts[:, 2] - tri_pts[:, 0])
+    flip = np.sum(n * g, axis=-1) < 0
+    tri_pts[flip] = tri_pts[flip][:, ::-1]
+
+    verts = tri_pts.reshape(-1, 3)
+    faces = np.arange(len(verts), dtype=np.int64).reshape(-1, 3)
+    if weld:
+        key = np.round(verts / 1e-6).astype(np.int64)
+        _, first, inv = np.unique(key, axis=0, return_index=True,
+                                  return_inverse=True)
+        verts = verts[first]
+        faces = inv[faces]
+        # drop degenerate faces created by welding
+        ok = ((faces[:, 0] != faces[:, 1]) & (faces[:, 1] != faces[:, 2])
+              & (faces[:, 0] != faces[:, 2]))
+        faces = faces[ok]
+
+    verts = origin + verts * spacing
+    return verts.astype(np.float32), faces
+
+
+def vertex_normals(verts: np.ndarray, faces: np.ndarray) -> np.ndarray:
+    """Area-weighted vertex normals."""
+    n = np.cross(verts[faces[:, 1]] - verts[faces[:, 0]],
+                 verts[faces[:, 2]] - verts[faces[:, 0]])
+    out = np.zeros_like(verts)
+    for i in range(3):
+        np.add.at(out, faces[:, i], n)
+    norm = np.linalg.norm(out, axis=-1, keepdims=True)
+    return out / np.maximum(norm, 1e-12)
