@@ -1,0 +1,129 @@
+"""Benchmark: DN-Splatter training throughput on a 9-view object scene.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "iters/sec", "vs_baseline": N}
+
+Workload mirrors the reference's canonical run (9-view object scene,
+full DN loss stack: RGB DSSIM+L1 + edge-aware depth + normal + smoothness +
+flatness, densification stats accumulation) at 640x480 with ~100k padded
+Gaussian capacity.
+
+vs_baseline anchor: the reference pipeline trains 15k iters on its single
+CUDA GPU in roughly 25 minutes for this scene class (~10 it/s with both
+gsplat rasterizer calls + priors). BASELINE.json sets the bar at
+"H100-gsplat parity"; we use 10 it/s as the reference-class anchor until a
+measured H100 number exists.
+
+Everything is pre-built on host (numpy) and runs as jitted scans — no eager
+dispatch in the measured region.
+"""
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+BASELINE_ITERS_PER_SEC = 10.0
+
+WIDTH, HEIGHT = 640, 480
+N_VIEWS = 9
+N_SEED = 60_000
+CAPACITY = 1 << 17          # 131072 padded slots
+CHUNK = 50                  # steps per fused dispatch
+MEASURE_CHUNKS = 4
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from fusionsense_tpu.config import (
+        ExperimentConfig, LossConfig, ModelConfig, TrainConfig,
+    )
+    from fusionsense_tpu.data.synthetic import (
+        ring_cameras, sphere_depth_normals, sphere_points,
+    )
+    from fusionsense_tpu.gaussians.adc import ADCConfig
+    from fusionsense_tpu.gaussians.init import init_from_points
+    from fusionsense_tpu.gaussians.store import activated
+    from fusionsense_tpu.render.rasterize import RasterizeConfig, rasterize
+    from fusionsense_tpu.train.trainer import TrainData, Trainer
+
+    rcfg = RasterizeConfig(tile_size=16, tile_capacity=512,
+                           max_tiles_per_gaussian=32, tile_chunk=100,
+                           sh_degree=3)
+    cams = ring_cameras(n_views=N_VIEWS, width=WIDTH, height_px=HEIGHT,
+                        focal=550.0)
+
+    # synthetic 9-view capture of the textured sphere (GT render + analytic
+    # depth/normals), built once via jitted calls
+    pts, rgb, normals = sphere_points(n=N_SEED, radius=0.5)
+    gt = init_from_points(pts, rgb, capacity=CAPACITY, sh_degree=3,
+                          seed_normals=normals, init_opacity=0.95)
+    m, q, s, o, c = activated(gt)
+
+    render = jax.jit(
+        lambda vm, fx, fy, cx, cy: rasterize(
+            m, q, s, o, c, cams.index(0).replace(
+                viewmat=vm, fx=fx, fy=fy, cx=cx, cy=cy), rcfg).rgb)
+    depth_fn = None
+    imgs, deps, nms = [], [], []
+    from fusionsense_tpu.data.synthetic import sphere_depth_normals as sdn
+    sdn_j = jax.jit(lambda vm, fx, fy, cx, cy: sdn(
+        cams.index(0).replace(viewmat=vm, fx=fx, fy=fy, cx=cx, cy=cy)))
+    for i in range(N_VIEWS):
+        ci = cams.index(i)
+        imgs.append(render(ci.viewmat, ci.fx, ci.fy, ci.cx, ci.cy))
+        d, n, _ = sdn_j(ci.viewmat, ci.fx, ci.fy, ci.cx, ci.cy)
+        deps.append(d)
+        nms.append(n)
+    data = TrainData(images=jnp.stack(imgs), sensor_depths=jnp.stack(deps),
+                     normals=jnp.stack(nms))
+
+    # training model: perturbed sparse init
+    pts2, rgb2, n2 = sphere_points(n=N_SEED // 2, radius=0.5, seed=1)
+    rng = np.random.RandomState(0)
+    pts2 = jnp.asarray(np.asarray(pts2) + 0.02 * rng.randn(*pts2.shape).astype(np.float32))
+    init = init_from_points(pts2, jnp.full_like(rgb2, 0.5), capacity=CAPACITY,
+                            sh_degree=3, seed_normals=n2)
+
+    cfg = ExperimentConfig(
+        model=ModelConfig(sh_degree=3, rasterize=rcfg, capacity=CAPACITY,
+                          binary_opacities=False),
+        train=TrainConfig(iterations=15_000, scan_chunk=CHUNK,
+                          adc=ADCConfig()),
+        loss=LossConfig(),
+    )
+    tr = Trainer(cfg, cams, data, init)
+
+    # warmup: compile + settle (2 chunks)
+    tr.run(iterations=2 * CHUNK, log=None)
+    jax.block_until_ready(tr.gaussians.means)
+
+    t0 = time.time()
+    tr.run(iterations=tr.step + MEASURE_CHUNKS * CHUNK, log=None)
+    jax.block_until_ready(tr.gaussians.means)
+    dt = time.time() - t0
+
+    steps = MEASURE_CHUNKS * CHUNK
+    iters_per_sec = steps / dt
+    mpix_per_sec = iters_per_sec * WIDTH * HEIGHT / 1e6
+
+    print(json.dumps({
+        "metric": "train_iters_per_sec_9view_640x480_dn_splatter",
+        "value": round(iters_per_sec, 3),
+        "unit": "iters/sec",
+        "vs_baseline": round(iters_per_sec / BASELINE_ITERS_PER_SEC, 3),
+        "extra": {
+            "mpix_per_sec_rasterized": round(mpix_per_sec, 2),
+            "num_gaussians": int(tr.gaussians.num_alive),
+            "capacity": CAPACITY,
+            "measured_steps": steps,
+            "psnr_last": tr.history[-1]["psnr"] if tr.history else None,
+        },
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,84 @@
+"""Whole-split evaluation: render every view, average the metric battery.
+
+The analog of the reference's big eval
+(reference dn_splatter/dn_pipeline.py:171-533
+get_average_eval_image_metrics: per-image PSNR/SSIM/LPIPS + depth/normal
+metrics + fps). Rendering is one jitted function re-used across views;
+throughput (fps, Mpix/s) is measured on the steady-state renders.
+"""
+from __future__ import annotations
+
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from fusionsense_tpu.core.cameras import Camera
+from fusionsense_tpu.eval import metrics as M
+from fusionsense_tpu.gaussians.store import GaussianState, activated
+from fusionsense_tpu.render.rasterize import (
+    RasterizeConfig, gaussian_flat_normals, rasterize,
+)
+
+
+def make_render_fn(cfg: RasterizeConfig, camera: Camera,
+                   binary_opacities: bool = False):
+    """Jitted view renderer: (gaussians, cam_idx) -> RenderOutputs."""
+
+    @jax.jit
+    def render(gaussians: GaussianState, cam_idx):
+        means, quats, scales, op, colors = activated(
+            gaussians, binary_opacity_snap=binary_opacities)
+        cam_i = camera.index(cam_idx)
+        normals = gaussian_flat_normals(quats, scales, means, cam_i.origin)
+        return rasterize(means, quats, scales, op, colors, cam_i, cfg,
+                         normals=normals)
+
+    return render
+
+
+def evaluate(
+    gaussians: GaussianState,
+    camera: Camera,            # batched over eval views
+    data,                      # TrainData for the eval split
+    cfg: RasterizeConfig,
+    binary_opacities: bool = False,
+    measure_fps: bool = True,
+) -> dict:
+    render = make_render_fn(cfg, camera, binary_opacities)
+    V = data.images.shape[0]
+
+    per_view = []
+    outs = []
+    for i in range(V):
+        out = rasterize_out = render(gaussians, jnp.asarray(i))
+        outs.append(out)
+        m = M.rgb_metrics(out.rgb, data.images[i],
+                          None if data.masks is None else data.masks[i])
+        if data.sensor_depths is not None:
+            m.update({f"depth_{k}": v for k, v in
+                      M.depth_metrics(out.depth, data.sensor_depths[i]).items()})
+        if data.normals is not None:
+            mask = data.masks[i] if data.masks is not None else (
+                data.sensor_depths[i] > 1e-4 if data.sensor_depths is not None
+                else None)
+            m.update({f"normal_{k}": v for k, v in
+                      M.normal_metrics(out.normal, data.normals[i], mask).items()})
+        per_view.append({k: float(v) for k, v in m.items()})
+
+    agg = {k: float(np.mean([pv[k] for pv in per_view]))
+           for k in per_view[0]}
+
+    if measure_fps:
+        jax.block_until_ready(outs[-1].rgb)
+        t0 = time.time()
+        reps = max(3, min(10, V))
+        for i in range(reps):
+            out = render(gaussians, jnp.asarray(i % V))
+        jax.block_until_ready(out.rgb)
+        dt = (time.time() - t0) / reps
+        agg["fps"] = 1.0 / dt
+        agg["mpix_per_s"] = camera.width * camera.height / dt / 1e6
+    agg["num_gaussians"] = int(gaussians.num_alive)
+    return {"mean": agg, "per_view": per_view}

@@ -14,10 +14,13 @@ from __future__ import annotations
 
 import numpy as np
 
-# 6-tetrahedron decomposition of a cube sharing the 0-6 diagonal.
+# Kuhn 6-tetrahedron decomposition of a cube around the body diagonal 0-7:
+# one tet per axis-order permutation (0 -> a -> a|b -> 7). Face diagonals of
+# adjacent cubes match (both use the low-to-high corner), so the global
+# triangulation is conforming and the extracted surface watertight.
 # Cube corner numbering: bit0 = +x, bit1 = +y, bit2 = +z.
-_TETS = [(0, 5, 1, 6), (0, 1, 2, 6), (0, 2, 3, 6),
-         (0, 3, 7, 6), (0, 7, 4, 6), (0, 4, 5, 6)]
+_TETS = [(0, 1, 3, 7), (0, 1, 5, 7), (0, 2, 3, 7),
+         (0, 2, 6, 7), (0, 4, 5, 7), (0, 4, 6, 7)]
 
 # per-case triangles; each triangle is 3 edges; each edge (inside, outside)
 _CASE_TRIS: dict[int, list] = {

@@ -1,0 +1,187 @@
+"""Multi-chip SPMD training step: data-parallel cameras x tile-parallel
+rasterization under shard_map.
+
+Design (SURVEY.md §5, §7.1): the per-tile compositing — the FLOPs-dominant
+stage — shards along a "tile" mesh axis; cameras shard along "data". The
+composited tile block is all-gathered over ICI to form the full image for
+the windowed losses (SSIM crosses tile borders), and parameter gradients
+are psum-reduced over both axes — the SPMD equivalent of the reference's
+DDP all-reduce (reference dn_splatter/dn_pipeline.py:161-167), but over
+image tiles as well as batch.
+
+Projection/binning stay replicated: they are O(N) vector math and a sort,
+dwarfed by the O(T*P*K) compositing that does shard.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+from jax import shard_map
+
+from fusionsense_tpu.config import ExperimentConfig
+from fusionsense_tpu.core.cameras import Camera
+from fusionsense_tpu.core.sh import eval_sh
+from fusionsense_tpu.core.transforms import normalize
+from fusionsense_tpu.gaussians.adc import accumulate_stats
+from fusionsense_tpu.gaussians.store import GaussianState, activated
+from fusionsense_tpu.render.binning import bin_gaussians
+from fusionsense_tpu.render.composite import (
+    TileGrid, composite_tiles, pixel_features, tiles_to_image,
+)
+from fusionsense_tpu.render.project import alpha_coefficients, project_gaussians
+from fusionsense_tpu.render.rasterize import gaussian_flat_normals
+from fusionsense_tpu.train import losses as L
+from fusionsense_tpu.train.optim import DEFAULT_GROUPS, adam_step
+from fusionsense_tpu.train.trainer import TrainData, sh_band_mask
+
+
+def _render_local_tiles(gaussians: GaussianState, camera: Camera, cam_idx,
+                        cfg: ExperimentConfig, tap, step, tile_axis: str):
+    """Rasterize only this device's tile block. Returns (local_tiles
+    (T_loc, P, C+1 last=alpha), proj aux)."""
+    mc = cfg.model
+    rcfg = mc.rasterize
+    means, quats, scales, op, colors = activated(
+        gaussians, binary_opacity_snap=mc.binary_opacities,
+        opacity_threshold=mc.binary_opacity_threshold)
+    colors = colors * sh_band_mask(mc.sh_degree, step,
+                                   mc.sh_degree_interval)[None, :, None]
+    cam_i = camera.index(cam_idx)
+    grid = TileGrid(width=camera.width, height=camera.height,
+                    tile_size=rcfg.tile_size)
+
+    proj = project_gaussians(means, quats, scales, op, cam_i,
+                             near=rcfg.near, far=rcfg.far, eps2d=rcfg.eps2d,
+                             antialiased=rcfg.antialiased)
+    mean2d = proj.mean2d + tap
+    opc = op * (proj.compensation if rcfg.antialiased else 1.0)
+    coeff = alpha_coefficients(mean2d, proj.conic, opc, proj.valid)
+
+    viewdir = normalize(means - cam_i.origin)
+    rgb_g = jnp.clip(eval_sh(colors, viewdir, mc.sh_degree) + 0.5, 0.0, None)
+    normals_g = gaussian_flat_normals(quats, scales, means, cam_i.origin)
+    channels = jnp.concatenate([rgb_g, proj.depth[:, None], normals_g], -1)
+
+    bins = bin_gaussians(
+        jax.lax.stop_gradient(proj.mean2d),
+        jax.lax.stop_gradient(proj.radius),
+        jax.lax.stop_gradient(proj.depth),
+        width=camera.width, height=camera.height, tile_size=rcfg.tile_size,
+        tile_capacity=rcfg.tile_capacity,
+        max_tiles_per_gaussian=rcfg.max_tiles_per_gaussian)
+
+    n_shards = jax.lax.axis_size(tile_axis)
+    me = jax.lax.axis_index(tile_axis)
+    T = grid.num_tiles
+    T_pad = -(-T // n_shards) * n_shards
+    T_loc = T_pad // n_shards
+
+    def pad_tiles(x, fill=0.0):
+        return jnp.concatenate(
+            [x, jnp.full((T_pad - T,) + x.shape[1:], fill, x.dtype)], 0)
+
+    idx = pad_tiles(jnp.maximum(bins.indices, 0))
+    mask = pad_tiles(bins.mask, False)
+    idx_loc = jax.lax.dynamic_slice_in_dim(idx, me * T_loc, T_loc, 0)
+    mask_loc = jax.lax.dynamic_slice_in_dim(mask, me * T_loc, T_loc, 0)
+
+    tile_coeff = jnp.where(
+        mask_loc[..., None], coeff[idx_loc],
+        jnp.zeros_like(coeff[idx_loc]).at[..., 5].set(-1e10))
+    tile_chan = jnp.where(mask_loc[..., None], channels[idx_loc], 0.0)
+
+    feats = pad_tiles(pixel_features(grid))
+    feats_loc = jax.lax.dynamic_slice_in_dim(feats, me * T_loc, T_loc, 0)
+
+    out_loc, alpha_loc = composite_tiles(
+        feats_loc, tile_coeff, tile_chan, tile_chunk=rcfg.tile_chunk)
+    local = jnp.concatenate([out_loc, alpha_loc[..., None]], -1)
+    aux = {"radius": proj.radius, "grid": grid, "T": T}
+    return local, aux
+
+
+def _sharded_losses(gaussians, camera, data: TrainData, cam_idx, step,
+                    cfg: ExperimentConfig, tap, tile_axis: str):
+    local, aux = _render_local_tiles(gaussians, camera, cam_idx, cfg, tap,
+                                     step, tile_axis)
+    # gather full image over the tile axis (grads flow back as slices)
+    full = jax.lax.all_gather(local, tile_axis, axis=0, tiled=True)
+    grid: TileGrid = aux["grid"]
+    img = tiles_to_image(full[: aux["T"]], grid)
+    rgb, depth, normal, alpha = (img[..., :3], img[..., 3],
+                                 img[..., 4:7], img[..., 7])
+    mc, lc = cfg.model, cfg.loss
+    bg = jnp.asarray(mc.background, jnp.float32)
+    rgb = rgb + (1.0 - alpha)[..., None] * bg
+
+    image_gt = data.images[cam_idx]
+    total = L.rgb_loss(rgb, image_gt, None, lc.ssim_lambda)
+    if data.sensor_depths is not None and lc.sensor_depth_lambda > 0:
+        gt_d = data.sensor_depths[cam_idx]
+        valid = (gt_d > lc.depth_tolerance).astype(jnp.float32)
+        total = total + lc.sensor_depth_lambda * L.depth_edge_aware_logl1(
+            depth, gt_d, image_gt, valid)
+    if data.normals is not None and lc.normal_lambda > 0:
+        total = total + lc.normal_lambda * (
+            L.normal_l1(normal, data.normals[cam_idx]) + L.tv_loss(normal))
+    if lc.smooth_lambda > 0:
+        total = total + lc.smooth_lambda * L.edge_aware_tv(depth, image_gt)
+    if lc.flatness_lambda > 0:
+        total = total + lc.flatness_lambda * L.flatness_loss(
+            gaussians.log_scales, gaussians.alive)
+    psnr = -10.0 * jnp.log10(jnp.mean((rgb - image_gt) ** 2) + 1e-10)
+    return total, (aux["radius"], psnr)
+
+
+def make_sharded_train_step(cfg: ExperimentConfig, camera: Camera,
+                            data: TrainData, mesh: Mesh, adam_groups=None):
+    """One DP x tile-parallel training step over `mesh`.
+
+    cam_indices: (n_data,) int32 — one camera per data shard.
+    Everything else replicated; returns updated (gaussians, opt, stats)
+    plus scalar metrics.
+    """
+    adam_groups = adam_groups or DEFAULT_GROUPS
+
+    def step_fn(gaussians, opt, stats, step, cam_indices):
+        cam_idx = cam_indices[0]   # local shard has exactly one camera
+
+        def loss_fn(params, tap):
+            g = gaussians.replace(**params)
+            return _sharded_losses(g, camera, data, cam_idx, step, cfg, tap,
+                                   "tile")
+
+        tap0 = jnp.zeros((gaussians.capacity, 2))
+        (loss, (radius, psnr)), grads = jax.value_and_grad(
+            loss_fn, argnums=(0, 1), has_aux=True)(gaussians.params(), tap0)
+        param_grads, tap_grad = grads
+
+        # gradient reduction: mean over cameras, sum over tile shards
+        param_grads = jax.tree.map(
+            lambda g: jax.lax.pmean(jax.lax.psum(g, "tile"), "data"),
+            param_grads)
+        tap_grad = jax.lax.pmean(jax.lax.psum(tap_grad, "tile"), "data")
+
+        params, opt2 = adam_step(gaussians.params(), param_grads, opt, step,
+                                 gaussians.alive, groups=adam_groups)
+        g2 = gaussians.replace(**params)
+        # stats: radius is per-camera; accumulate the max over the batch
+        radius = jax.lax.pmax(jax.lax.pmax(radius, "data"), "tile")
+        stats2 = accumulate_stats(stats, tap_grad, radius,
+                                  camera.width, camera.height)
+        metrics = {
+            "loss": jax.lax.pmean(jax.lax.pmean(loss, "data"), "tile"),
+            "psnr": jax.lax.pmean(jax.lax.pmean(psnr, "data"), "tile"),
+        }
+        return g2, opt2, stats2, metrics
+
+    sharded = shard_map(
+        step_fn, mesh=mesh,
+        in_specs=(P(), P(), P(), P(), P("data")),
+        out_specs=(P(), P(), P(), P()),
+    )
+    return jax.jit(sharded)

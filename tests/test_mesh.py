@@ -1,0 +1,129 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from fusionsense_tpu.data.synthetic import (
+    ring_cameras, sphere_depth_normals, sphere_points,
+)
+from fusionsense_tpu.mesh.marching import marching_tetrahedra, vertex_normals
+from fusionsense_tpu.mesh.tsdf import TSDFConfig, extract_mesh, fuse_depths
+
+
+def sphere_field(res=48, radius=0.35):
+    """SDF of a sphere on a [-0.5, 0.5]^3 grid."""
+    xs = np.linspace(-0.5, 0.5, res)
+    gx, gy, gz = np.meshgrid(xs, xs, xs, indexing="ij")
+    sdf = np.sqrt(gx ** 2 + gy ** 2 + gz ** 2) - radius
+    spacing = xs[1] - xs[0]
+    return sdf, (-0.5, -0.5, -0.5), spacing
+
+
+def test_marching_tets_sphere():
+    sdf, origin, spacing = sphere_field()
+    verts, faces = marching_tetrahedra(sdf, iso=0.0, origin=origin,
+                                       spacing=spacing)
+    assert len(verts) > 500
+    assert len(faces) > 500
+    r = np.linalg.norm(verts, axis=-1)
+    # all vertices on the sphere surface within a voxel
+    np.testing.assert_allclose(r, 0.35, atol=spacing)
+    # faces index valid vertices
+    assert faces.max() < len(verts)
+    # outward orientation: vertex normals roughly radial
+    vn = vertex_normals(verts, faces)
+    radial = verts / np.linalg.norm(verts, axis=-1, keepdims=True)
+    cos = np.sum(vn * radial, axis=-1)
+    assert np.mean(cos) > 0.9
+
+
+def test_marching_tets_empty():
+    sdf = np.ones((8, 8, 8))  # all outside
+    verts, faces = marching_tetrahedra(sdf, iso=0.0)
+    assert len(verts) == 0 and len(faces) == 0
+
+
+def test_marching_tets_watertight_euler():
+    """A closed surface should have 2x edges == 3x faces (manifold-ish)."""
+    sdf, origin, spacing = sphere_field(res=24)
+    verts, faces = marching_tetrahedra(sdf, iso=0.0, origin=origin,
+                                       spacing=spacing)
+    edges = set()
+    for f in faces:
+        for a, b in ((f[0], f[1]), (f[1], f[2]), (f[2], f[0])):
+            edges.add((min(a, b), max(a, b)))
+    # closed 2-manifold: E = 3F/2
+    assert abs(len(edges) - 1.5 * len(faces)) < 0.02 * len(faces)
+
+
+def test_tsdf_fusion_sphere():
+    """Fuse analytic sphere depth maps -> mesh near radius 0.35."""
+    cams = ring_cameras(n_views=6, width=80, height_px=60, focal=70.0,
+                        radius=1.6, height=0.5)
+    depths = []
+    for i in range(6):
+        d, _, _ = sphere_depth_normals(cams.index(i), radius=0.35)
+        depths.append(d)
+    depths = jnp.stack(depths)
+    cfg = TSDFConfig(voxel_size=0.02, truncation=0.06, min_weight=2.0,
+                     resolution=(64, 64, 64), origin=(-0.64, -0.64, -0.64),
+                     chunk=2 ** 14)
+    tsdf, weight = fuse_depths(depths, cams, cfg)
+    assert float(weight.max()) >= 2.0
+    verts, faces = extract_mesh(tsdf, weight, cfg)
+    assert len(verts) > 200
+    r = np.linalg.norm(verts, axis=-1)
+    # within ~2 voxels of the true surface
+    assert abs(np.median(r) - 0.35) < 0.04
+    assert np.percentile(np.abs(r - 0.35), 90) < 0.06
+
+
+def test_level_set_extraction():
+    from fusionsense_tpu.gaussians.init import init_from_points
+    from fusionsense_tpu.gaussians.store import activated
+    from fusionsense_tpu.mesh.level_set import level_surface_from_depth
+    from fusionsense_tpu.render.rasterize import (
+        RasterizeConfig, gaussian_flat_normals, rasterize,
+    )
+
+    pts, rgb, normals = sphere_points(n=800, radius=0.4)
+    g = init_from_points(pts, rgb, capacity=1024, sh_degree=1,
+                         seed_normals=normals, init_opacity=0.95)
+    cams = ring_cameras(n_views=1, width=64, height_px=48, focal=60.0)
+    rcfg = RasterizeConfig(tile_size=16, tile_capacity=128,
+                           max_tiles_per_gaussian=8, tile_chunk=12, sh_degree=1)
+    m, q, s, o, c = activated(g)
+    cam0 = cams.index(0)
+    out = rasterize(m, q, s, o, c, cam0, rcfg)
+    gn = gaussian_flat_normals(q, s, m, cam0.origin)
+    pts_s, nrm_s, valid = level_surface_from_depth(
+        out.depth, cam0.viewmat, cam0.fx, cam0.fy, cam0.cx, cam0.cy,
+        m, q, s, o, g.alive, gn,
+        width=64, height=48, level=0.3, chunk=1024, n_samples=11)
+    v = np.asarray(valid)
+    assert v.sum() > 200
+    r = np.linalg.norm(np.asarray(pts_s)[v], axis=-1)
+    # level-set points near the sphere surface
+    assert abs(np.median(r) - 0.4) < 0.05
+
+
+def test_density_grid_peaks_at_gaussians():
+    from fusionsense_tpu.gaussians.store import new_state
+    from fusionsense_tpu.mesh.level_set import density_grid
+
+    g = new_state(4, sh_degree=1)
+    g = g.replace(
+        means=g.means.at[0].set(jnp.zeros(3)),
+        log_scales=g.log_scales.at[0].set(jnp.log(0.05)),
+        logit_opacities=g.logit_opacities.at[0].set(3.0),
+        alive=g.alive.at[0].set(True),
+    )
+    field = density_grid(
+        g.means, g.quats, jnp.exp(g.log_scales),
+        jax.nn.sigmoid(g.logit_opacities), g.alive,
+        origin=(-0.2, -0.2, -0.2), voxel_size=0.025, resolution=(16, 16, 16),
+        k=1, chunk=512)
+    field = np.asarray(field)
+    peak = np.unravel_index(np.argmax(field), field.shape)
+    assert peak == (8, 8, 8) or all(abs(p - 8) <= 1 for p in peak)
+    assert field.max() > 0.5

@@ -1,0 +1,138 @@
+import numpy as np
+import pytest
+
+from fusionsense_tpu.touch_select.partseg import (
+    Detection, bbox_vote, fixed_viewpoints, normalize_pc, render_views,
+    segment_parts, superpoints,
+)
+from fusionsense_tpu.touch_select.proposals import (
+    fuse_part_ranks, propose_touches,
+)
+from fusionsense_tpu.touch_select.high_grad import (
+    HighGradConfig, cluster_and_rank, select_high_grad_points,
+)
+from fusionsense_tpu.touch_select.vlm import StaticPartProvider
+
+
+def two_blob_cloud(n=400, seed=0):
+    """Blob A at -x (part 0), blob B at +x (part 1)."""
+    rng = np.random.RandomState(seed)
+    a = rng.randn(n // 2, 3) * 0.08 + [-0.4, 0, 0]
+    b = rng.randn(n // 2, 3) * 0.08 + [0.4, 0, 0]
+    pts = np.concatenate([a, b]).astype(np.float32)
+    cols = np.zeros((n, 3), np.float32)
+    cols[: n // 2, 0] = 1.0
+    cols[n // 2:, 2] = 1.0
+    return pts, cols
+
+
+class GeometricDetector:
+    """Fixture detector: boxes around red (part 0) and blue (part 1) pixels."""
+
+    def detect(self, rgb, part_names):
+        boxes, labels = [], []
+        for part, ch in ((0, 0), (1, 2)):
+            mask = (rgb[..., ch] > 0.6) & (rgb.sum(-1) < 1.6)
+            ys, xs = np.nonzero(mask)
+            if len(xs) > 10:
+                boxes.append([xs.min(), ys.min(), xs.max(), ys.max()])
+                labels.append(part)
+        return Detection(
+            boxes=np.asarray(boxes, np.float64).reshape(-1, 4),
+            labels=labels, scores=np.ones(len(labels)))
+
+
+def test_normalize_pc():
+    pts = np.random.RandomState(0).randn(100, 3) * 5 + 3
+    norm, center, scale = normalize_pc(pts)
+    np.testing.assert_allclose(norm.mean(0), 0, atol=1e-6)
+    assert abs(np.abs(norm).max() - 1.0) < 1e-6
+
+
+def test_render_views_coverage():
+    pts, cols = two_blob_cloud()
+    norm, *_ = normalize_pc(pts)
+    views = render_views(norm, cols, n_views=4, size=128)
+    assert len(views) == 4
+    for v in views:
+        assert (v["idx"] >= 0).sum() > 50  # points visible in every view
+
+
+def test_superpoints_two_blobs():
+    pts, _ = two_blob_cloud()
+    norm, *_ = normalize_pc(pts)
+    labels = superpoints(norm, k=8, min_size=5)
+    assert labels.max() >= 0
+    # points within one blob should rarely share a label with the other blob
+    left = labels[: len(labels) // 2]
+    right = labels[len(labels) // 2:]
+    shared = set(left.tolist()) & set(right.tolist())
+    assert len(shared) <= 2
+
+
+def test_segment_parts_end_to_end():
+    pts, cols = two_blob_cloud()
+    part_idx = segment_parts(pts, cols, ["red part", "blue part"],
+                             GeometricDetector(), n_views=6, render_size=160,
+                             sp_k=8)
+    n = len(pts)
+    left, right = part_idx[: n // 2], part_idx[n // 2:]
+    # majority of each blob gets its correct part
+    assert (left == 0).mean() > 0.6, f"left: {np.bincount(left + 1)}"
+    assert (right == 1).mean() > 0.6, f"right: {np.bincount(right + 1)}"
+
+
+def test_fuse_and_propose():
+    rng = np.random.RandomState(0)
+    seg_pts = rng.rand(200, 3)
+    seg_rank = (seg_pts[:, 0] > 0.5).astype(np.int64)  # 2 parts by x
+    hg = rng.rand(50, 3)
+    part_rank = fuse_part_ranks(hg, seg_pts, seg_rank)
+    assert part_rank.shape == (50,)
+    # points with x>0.5 should mostly map to rank 1
+    assert (part_rank[hg[:, 0] > 0.6] == 1).mean() > 0.8
+
+    grad_rank = rng.permutation(50).astype(np.int64)
+    props = propose_touches(hg, part_rank, grad_rank, quota=8, per_part=3)
+    assert len(props.points) == 8
+    # part 0 candidates come first in ranking
+    assert props.part_rank[0] == 0
+
+
+def test_high_grad_select_and_cluster():
+    import jax.numpy as jnp
+
+    from fusionsense_tpu.gaussians.adc import init_stats
+    from fusionsense_tpu.gaussians.init import init_from_points
+
+    rng = np.random.RandomState(0)
+    # two tight clusters of gaussians + noise
+    c1 = rng.randn(30, 3) * 0.002 + [0.2, 0, 0]
+    c2 = rng.randn(30, 3) * 0.002 + [-0.2, 0, 0]
+    noise = rng.randn(40, 3) * 0.3
+    pts = np.concatenate([c1, c2, noise]).astype(np.float32)
+    g = init_from_points(jnp.asarray(pts), jnp.full((100, 3), 0.5),
+                         capacity=128, sh_degree=1)
+    stats = init_stats(128)
+    grad = np.zeros(128, np.float32)
+    grad[:30] = 1.0      # cluster 1: highest grads
+    grad[30:60] = 0.5    # cluster 2: medium
+    stats = stats.replace(grad2d_acc=jnp.asarray(grad),
+                          count=jnp.ones((128,), jnp.int32))
+
+    cfg = HighGradConfig(grad_percentile=30.0, dbscan_eps=0.02,
+                         dbscan_min_samples=5)
+    p, gr = select_high_grad_points(g, stats, None, cfg=cfg)
+    assert len(p) >= 60
+    p2, g2, labels, ranks = cluster_and_rank(p, gr, cfg)
+    assert len(np.unique(labels)) >= 2
+    # rank 0 cluster must be the high-grad one (near +0.2)
+    r0 = p2[ranks == 0]
+    assert abs(r0[:, 0].mean() - 0.2) < 0.05
+
+
+def test_static_part_provider():
+    resp = StaticPartProvider(classification="bunny",
+                              parts=("ears", "tail")).part_names()
+    assert resp.classification == "bunny"
+    assert resp.parts == ["ears", "tail"]
