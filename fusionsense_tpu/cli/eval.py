@@ -1,0 +1,62 @@
+"""fs-eval: render-quality + chamfer evaluation from a checkpoint.
+
+CLI-surface equivalent of the reference's ns-eval shellout + masked
+rendering eval + chamfer eval (reference eval_utils/rendering_evaluation.py,
+mask_rendering_eval.py, chamfer_evaluation.py).
+"""
+from __future__ import annotations
+
+import argparse
+import json
+from pathlib import Path
+
+
+def build_parser():
+    p = argparse.ArgumentParser("fs-eval", description=__doc__)
+    p.add_argument("--checkpoint", required=True)
+    p.add_argument("--data", required=True)
+    p.add_argument("--split", default="train", choices=["train", "val", "test"])
+    p.add_argument("--output-path", default="metrics.json")
+    p.add_argument("--gt-mesh", default=None,
+                   help="CAD ground-truth .ply for chamfer eval")
+    p.add_argument("--gt-mesh-unit", type=float, default=1e-3,
+                   help="scale of GT mesh units to meters (mm default)")
+    p.add_argument("--pred-mesh", default=None,
+                   help="extracted mesh/pcd .ply to compare (capture coords)")
+    p.add_argument("--backend", choices=["jax", "pallas"], default="jax")
+    return p
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+
+    from fusionsense_tpu.data.dataparser import (
+        DataParserConfig, load_train_data, parse_transforms,
+    )
+    from fusionsense_tpu.eval.evaluator import evaluate
+    from fusionsense_tpu.render.rasterize import RasterizeConfig
+    from fusionsense_tpu.train.checkpoint import load_checkpoint
+
+    gaussians, _, _, step = load_checkpoint(args.checkpoint)
+    dcfg = DataParserConfig(data_dir=args.data)
+    scene = parse_transforms(dcfg)
+    camera, data = load_train_data(scene, dcfg, args.split)
+    res = evaluate(gaussians, camera, data,
+                   RasterizeConfig(backend=args.backend))
+    res["step"] = step
+
+    if args.gt_mesh and args.pred_mesh:
+        from fusionsense_tpu.eval.chamfer import chamfer_eval
+        from fusionsense_tpu.utils.ply import read_ply
+
+        gt = read_ply(args.gt_mesh)["points"]
+        pred = read_ply(args.pred_mesh)["points"]
+        res["chamfer"] = chamfer_eval(pred, gt, gt_unit_scale=args.gt_mesh_unit)
+
+    with open(args.output_path, "w") as f:
+        json.dump(res, f, indent=2)
+    print(json.dumps(res["mean"], indent=2))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,59 @@
+"""fs-mesh: mesh extraction from a checkpoint.
+
+CLI-surface equivalent of the reference's `gs-mesh
+{tsdf,dn,sugar-coarse,gaussians,marching}` (reference
+dn_splatter/export_mesh.py:926-943), restoring from an fs-train checkpoint
+instead of a nerfstudio config.yml.
+"""
+from __future__ import annotations
+
+import argparse
+from pathlib import Path
+
+
+def build_parser():
+    p = argparse.ArgumentParser("fs-mesh", description=__doc__)
+    p.add_argument("method",
+                   choices=["tsdf", "dn", "sugar-coarse", "gaussians",
+                            "marching"])
+    p.add_argument("--checkpoint", required=True,
+                   help="fs-train checkpoint dir (ckpt_<step>)")
+    p.add_argument("--data", required=True, help="scene dir (for cameras)")
+    p.add_argument("--output-dir", default=None,
+                   help="default: checkpoint parent")
+    p.add_argument("--resolution", type=int, default=192)
+    p.add_argument("--level", type=float, default=0.3,
+                   help="sugar-coarse density level")
+    p.add_argument("--tile-capacity", type=int, default=512)
+    p.add_argument("--backend", choices=["jax", "pallas"], default="jax")
+    return p
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+
+    from fusionsense_tpu.data.dataparser import (
+        DataParserConfig, load_train_data, parse_transforms,
+    )
+    from fusionsense_tpu.mesh_export import extract
+    from fusionsense_tpu.render.rasterize import RasterizeConfig
+    from fusionsense_tpu.train.checkpoint import load_checkpoint
+
+    gaussians, _, _, step = load_checkpoint(args.checkpoint)
+    dcfg = DataParserConfig(data_dir=args.data)
+    scene = parse_transforms(dcfg)
+    camera, _ = load_train_data(scene, dcfg, "train")
+    out = Path(args.output_dir or Path(args.checkpoint).parent)
+    rcfg = RasterizeConfig(tile_capacity=args.tile_capacity,
+                           backend=args.backend)
+    hull = scene.hull_points
+    verts, faces, path = extract(
+        args.method, gaussians, camera, rcfg, out,
+        untransform=scene.untransform_points, hull_points=hull,
+        resolution=args.resolution, level=args.level)
+    print(f"mesh[{args.method}] @ step {step}: {len(verts)} verts, "
+          f"{len(faces)} faces -> {path}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,111 @@
+"""fs-render: render RGB/depth/normal images or orbit videos from a
+checkpoint.
+
+CLI-surface equivalent of the reference's ns-render fork
+(reference scripts/render_video.py:951-964: camera-path / interpolate /
+spiral / dataset subcommands).
+"""
+from __future__ import annotations
+
+import argparse
+import math
+from pathlib import Path
+
+import numpy as np
+
+
+def build_parser():
+    p = argparse.ArgumentParser("fs-render", description=__doc__)
+    p.add_argument("mode", choices=["dataset", "interpolate", "spiral"])
+    p.add_argument("--checkpoint", required=True)
+    p.add_argument("--data", required=True)
+    p.add_argument("--output-dir", default="renders")
+    p.add_argument("--split", default="train")
+    p.add_argument("--n-frames", type=int, default=60,
+                   help="frames for interpolate/spiral")
+    p.add_argument("--fps", type=int, default=24)
+    p.add_argument("--video", action="store_true", help="also write mp4")
+    p.add_argument("--backend", choices=["jax", "pallas"], default="jax")
+    return p
+
+
+def _save_image(path, arr, normalize=False):
+    from PIL import Image
+
+    arr = np.asarray(arr)
+    if normalize:
+        lo, hi = arr.min(), arr.max()
+        arr = (arr - lo) / max(hi - lo, 1e-8)
+    if arr.ndim == 2:
+        arr = np.stack([arr] * 3, -1)
+    Image.fromarray((np.clip(arr, 0, 1) * 255).astype(np.uint8)).save(path)
+
+
+def _orbit_cameras(camera, n_frames, spiral=False):
+    """Interpolated orbit around the scene center from the capture ring."""
+    import jax.numpy as jnp
+
+    from fusionsense_tpu.core.cameras import make_camera
+    from fusionsense_tpu.data.synthetic import look_at_w2c
+
+    origins = np.asarray(camera.origin)
+    center = np.zeros(3)
+    r = float(np.linalg.norm(origins[:, :2], axis=1).mean())
+    z = float(origins[:, 2].mean())
+    mats = []
+    for i in range(n_frames):
+        a = 2 * math.pi * i / n_frames
+        zz = z + (0.3 * z * math.sin(4 * math.pi * i / n_frames) if spiral else 0)
+        eye = np.array([r * math.cos(a), r * math.sin(a), zz])
+        mats.append(look_at_w2c(eye, center))
+    fx = float(np.asarray(camera.fx).mean())
+    ones = jnp.ones((n_frames,))
+    return make_camera(np.stack(mats).astype(np.float32), fx * ones, fx * ones,
+                       camera.width / 2 * ones, camera.height / 2 * ones,
+                       camera.width, camera.height)
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+
+    import jax.numpy as jnp
+
+    from fusionsense_tpu.data.dataparser import (
+        DataParserConfig, load_train_data, parse_transforms,
+    )
+    from fusionsense_tpu.eval.evaluator import make_render_fn
+    from fusionsense_tpu.render.rasterize import RasterizeConfig
+    from fusionsense_tpu.train.checkpoint import load_checkpoint
+
+    gaussians, _, _, _ = load_checkpoint(args.checkpoint)
+    dcfg = DataParserConfig(data_dir=args.data)
+    scene = parse_transforms(dcfg)
+    camera, _ = load_train_data(scene, dcfg, args.split)
+    if args.mode != "dataset":
+        camera = _orbit_cameras(camera, args.n_frames,
+                                spiral=args.mode == "spiral")
+    n = camera.viewmat.shape[0]
+
+    out = Path(args.output_dir)
+    for sub in ("rgb", "depth", "normal"):
+        (out / sub).mkdir(parents=True, exist_ok=True)
+
+    render = make_render_fn(RasterizeConfig(backend=args.backend), camera)
+    frames = []
+    for i in range(n):
+        o = render(gaussians, jnp.asarray(i))
+        _save_image(out / "rgb" / f"{i:05d}.png", o.rgb)
+        _save_image(out / "depth" / f"{i:05d}.png", o.depth, normalize=True)
+        _save_image(out / "normal" / f"{i:05d}.png",
+                    np.asarray(o.normal) * 0.5 + 0.5)
+        frames.append(np.asarray(np.clip(o.rgb, 0, 1) * 255).astype(np.uint8))
+
+    if args.video:
+        import imageio
+
+        imageio.mimwrite(out / "orbit.mp4", frames, fps=args.fps)
+    print(f"rendered {n} frames -> {out}")
+
+
+if __name__ == "__main__":
+    main()

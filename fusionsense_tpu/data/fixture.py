@@ -1,0 +1,126 @@
+"""Write a complete synthetic capture to disk in the reference data layout.
+
+Produces the exact on-disk contract the pipeline consumes (transforms.json
++ images/ + depths (16-bit mm png) + normals (npy) + masks + seed ply +
+optional tactile/gelsight_transform.json) — the test-fixture analog of the
+reference's transparent_bunny capture (reference README.md:55-57,131-134).
+"""
+from __future__ import annotations
+
+import json
+from pathlib import Path
+
+import numpy as np
+from PIL import Image
+
+import jax.numpy as jnp
+
+from fusionsense_tpu.data.synthetic import (
+    ring_cameras, sphere_depth_normals, sphere_points,
+)
+from fusionsense_tpu.gaussians.init import init_from_points
+from fusionsense_tpu.gaussians.store import activated
+from fusionsense_tpu.render.rasterize import RasterizeConfig, rasterize
+from fusionsense_tpu.utils.ply import write_ply, write_pcd
+
+
+def write_synthetic_scene(
+    data_dir,
+    n_views: int = 6,
+    width: int = 96,
+    height: int = 72,
+    focal: float = 85.0,
+    radius: float = 0.4,
+    n_gt: int = 1500,
+    with_touches: bool = False,
+    seed: int = 0,
+):
+    """Returns the data_dir. GT = textured sphere rendered with the tiled
+    rasterizer; depth/normals/masks analytic."""
+    data_dir = Path(data_dir)
+    (data_dir / "images").mkdir(parents=True, exist_ok=True)
+    for sub in ("depths", "normals", "masks"):
+        (data_dir / sub).mkdir(exist_ok=True)
+
+    cams = ring_cameras(n_views=n_views, width=width, height_px=height,
+                        focal=focal)
+    pts, rgb, normals = sphere_points(n=n_gt, radius=radius, seed=seed)
+    gt = init_from_points(pts, rgb, capacity=max(2048, n_gt * 2), sh_degree=1,
+                          seed_normals=normals, init_opacity=0.95)
+    rcfg = RasterizeConfig(tile_size=16, tile_capacity=128,
+                           max_tiles_per_gaussian=16, tile_chunk=16,
+                           sh_degree=1)
+    m, q, s, o, c = activated(gt)
+
+    # cameras are scene-normalized by construction; write transforms.json in
+    # raw/OpenGL convention so the dataparser's conversions are exercised
+    flip = np.diag([1.0, -1.0, -1.0, 1.0])
+    frames = []
+    for i in range(n_views):
+        cam_i = cams.index(i)
+        out = rasterize(m, q, s, o, c, cam_i, rcfg)
+        depth, nrm, mask = sphere_depth_normals(cam_i, radius=radius)
+        name = f"frame_{i:05d}.png"
+
+        img = np.asarray(jnp.clip(out.rgb, 0, 1) * 255).astype(np.uint8)
+        Image.fromarray(img).save(data_dir / "images" / name)
+        d_mm = (np.asarray(depth) * 1000).astype(np.uint16)
+        Image.fromarray(d_mm).save(data_dir / "depths" / name)
+        # normals: world -> opencv camera frame, stored as npy
+        w2c = np.asarray(cam_i.viewmat)
+        n_cam = np.asarray(nrm) @ w2c[:3, :3].T
+        np.save(data_dir / "normals" / (name + ".npy"), n_cam)
+        Image.fromarray((np.asarray(mask) * 255).astype(np.uint8)).save(
+            data_dir / "masks" / name)
+
+        c2w_cv = np.linalg.inv(w2c)
+        c2w_gl = c2w_cv @ flip
+        frames.append({
+            "file_path": f"images/{name}",
+            "depth_file_path": f"depths/{name}",
+            "normal_file_path": f"normals/{name}.npy",
+            "mask_file_path": f"masks/{name}",
+            "transform_matrix": c2w_gl.tolist(),
+            "fl_x": focal, "fl_y": focal,
+            "cx": width / 2, "cy": height / 2, "w": width, "h": height,
+        })
+
+    # seed pcd: subsampled noisy GT surface
+    rng = np.random.RandomState(seed)
+    seed_pts = np.asarray(pts)[:: max(1, n_gt // 500)]
+    seed_pts = seed_pts + rng.randn(*seed_pts.shape).astype(np.float32) * 0.01
+    seed_rgb = np.asarray(rgb)[:: max(1, n_gt // 500)]
+    write_ply(data_dir / "seed.ply", seed_pts, colors=seed_rgb)
+
+    meta = {
+        "frames": frames,
+        "ply_file_path": "seed.ply",
+        "train_filenames": [f"images/frame_{i:05d}.png"
+                            for i in range(n_views - 1)],
+        "test_filenames": [f"images/frame_{n_views - 1:05d}.png"],
+    }
+
+    if with_touches:
+        tdir = data_dir / "tactile"
+        tdir.mkdir(exist_ok=True)
+        # one patch on the +x pole of the sphere, in sensor units
+        gel_scale = 6.34e-5
+        grid = np.stack(np.meshgrid(np.arange(-10, 11), np.arange(-10, 11)),
+                        -1).reshape(-1, 2) * 10.0   # sensor units
+        zs = np.zeros((len(grid), 1))
+        sensor_pts = np.concatenate([grid, zs], -1)
+        write_pcd(tdir / "patch_0.pcd", sensor_pts.astype(np.float32),
+                  extra={"normal_x": np.zeros(len(grid), np.float32),
+                         "normal_y": np.zeros(len(grid), np.float32)})
+        T = np.eye(4)
+        # sensor -z normal should face outward (+x): rotate z->-x
+        T[:3, :3] = np.array([[0, 0, -1.0], [0, 1.0, 0], [1.0, 0, 0]]).T
+        T[:3, 3] = [radius, 0.0, 0.0]
+        with open(tdir / "gelsight_transform.json", "w") as f:
+            json.dump({"gel_scale": gel_scale,
+                       "frames": [{"file_path": "patch_0.pcd",
+                                   "transform_matrix": T.tolist()}]}, f)
+
+    with open(data_dir / "transforms.json", "w") as f:
+        json.dump(meta, f)
+    return data_dir

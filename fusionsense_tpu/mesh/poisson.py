@@ -1,0 +1,99 @@
+"""Poisson surface reconstruction on a regular grid via FFT — TPU-native.
+
+The reference uses open3d's screened-Poisson (Kazhdan) for its `gaussians`,
+`dn`, and `sugar-coarse` meshes (reference dn_splatter/export_mesh.py:
+Poisson depth 6/9 calls). Here the classic FFT formulation (Kazhdan 2005)
+replaces the octree solver: on a regular grid the Poisson equation
+  laplacian(chi) = div V,   V = smoothed oriented-normal field
+is diagonal in Fourier space, so the whole solve is three FFTs on the TPU —
+no linear-system code at all. Resolution is uniform instead of adaptive;
+for object-scale clouds a 128-256 grid matches Poisson depth 7-8.
+"""
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@dataclasses.dataclass(frozen=True)
+class PoissonConfig:
+    resolution: int = 160
+    padding: float = 0.15        # fraction of extent padded on each side
+    smooth_sigma: float = 1.5    # Gaussian pre-smoothing of V (voxels)
+
+
+def _scatter_field(points: jax.Array, normals: jax.Array, res: int):
+    """Trilinear scatter of normals into a (res, res, res, 3) field.
+    Points must be pre-normalized to [0, res-1]^3."""
+    base = jnp.floor(points)
+    frac = points - base
+    b = base.astype(jnp.int32)
+    field = jnp.zeros((res, res, res, 3))
+    for dz in (0, 1):
+        for dy in (0, 1):
+            for dx in (0, 1):
+                w = (jnp.abs(1 - dx - frac[:, 0])
+                     * jnp.abs(1 - dy - frac[:, 1])
+                     * jnp.abs(1 - dz - frac[:, 2]))
+                idx = jnp.clip(b + jnp.array([dx, dy, dz]), 0, res - 1)
+                field = field.at[idx[:, 0], idx[:, 1], idx[:, 2]].add(
+                    w[:, None] * normals)
+    return field
+
+
+@jax.jit
+def _solve(field: jax.Array, sigma: float):
+    """chi with laplacian(chi) = div(smooth(field)), periodic BCs."""
+    res = field.shape[0]
+    k = jnp.fft.fftfreq(res) * 2 * jnp.pi            # (res,)
+    kx = k[:, None, None]
+    ky = k[None, :, None]
+    kz = k[None, None, :]
+    k2 = kx ** 2 + ky ** 2 + kz ** 2
+
+    Fx = jnp.fft.fftn(field[..., 0])
+    Fy = jnp.fft.fftn(field[..., 1])
+    Fz = jnp.fft.fftn(field[..., 2])
+    # Gaussian smoothing in the Fourier domain: a std-sigma-voxel Gaussian
+    # has transfer function exp(-sigma^2 |omega|^2 / 2), omega in rad/voxel
+    g = jnp.exp(-0.5 * (sigma ** 2) * k2)
+    div_hat = 1j * (kx * Fx + ky * Fy + kz * Fz) * g
+    k2_safe = jnp.where(k2 == 0, 1.0, k2)
+    chi_hat = jnp.where(k2 == 0, 0.0, -div_hat / k2_safe)
+    return jnp.real(jnp.fft.ifftn(chi_hat))
+
+
+def poisson_reconstruct(
+    points: np.ndarray, normals: np.ndarray,
+    cfg: PoissonConfig = PoissonConfig(),
+):
+    """Oriented point cloud -> (verts, faces) watertight mesh."""
+    from fusionsense_tpu.mesh.marching import marching_tetrahedra
+
+    points = np.asarray(points, np.float64)
+    normals = np.asarray(normals, np.float64)
+    lo = points.min(0)
+    hi = points.max(0)
+    extent = float((hi - lo).max())
+    pad = cfg.padding * extent
+    origin = lo - pad
+    scale = (extent + 2 * pad) / (cfg.resolution - 1)
+
+    grid_pts = (points - origin) / scale
+    field = _scatter_field(jnp.asarray(grid_pts, jnp.float32),
+                           jnp.asarray(normals, jnp.float32), cfg.resolution)
+    chi = np.asarray(_solve(field, cfg.smooth_sigma))
+
+    # iso level = mean chi at the input samples
+    gp = np.clip(np.round(grid_pts).astype(np.int64), 0, cfg.resolution - 1)
+    iso = float(np.mean(chi[gp[:, 0], gp[:, 1], gp[:, 2]]))
+
+    # orientation: chi is higher inside when normals point outward
+    # (div of outward field is negative inside). Our MT convention is
+    # "inside = value < iso", so negate.
+    verts, faces = marching_tetrahedra(-chi, iso=-iso, origin=origin,
+                                       spacing=scale)
+    return verts, faces

@@ -1,0 +1,194 @@
+"""End-to-end reconstruction pipeline: the reference's Module 1 / Module 3
+orchestrator, in-process.
+
+The reference shells out through subprocess chains (reference
+scripts/train.py:274-327: select frames -> visual hull -> Metric3D depth ->
+pcd init -> DSINE normals -> ns-train -> gs-mesh -> eval, across two conda
+envs). Here every stage is a library call in one process; foundation-model
+priors (depth/normal/masks) are ingested from files produced by any
+external model, with built-in fallbacks (normals-from-depth, sensor depth).
+
+Stages:
+ 1. parse transforms.json (+ optional split writing)
+ 2. visual hull from masks                 [priors.visual_hull]
+ 3. seed pcd from depths + hull            [priors.pcd_init]
+ 4. train with ADC + touch anchoring + hull/touch pruning callbacks
+ 5. high-gradient export for active touch  [touch_select.high_grad]
+ 6. mesh extraction (tsdf / level-set / poisson / marching / gaussians)
+ 7. evaluation (render metrics + optional chamfer)
+"""
+from __future__ import annotations
+
+import dataclasses
+import json
+import time
+from pathlib import Path
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from fusionsense_tpu.config import ExperimentConfig
+from fusionsense_tpu.core.cameras import Camera
+from fusionsense_tpu.data.dataparser import (
+    DataParserConfig, load_train_data, parse_transforms,
+)
+from fusionsense_tpu.gaussians.init import init_from_points
+from fusionsense_tpu.gaussians.touch import (
+    add_touch_patches, hull_prune, touch_prune,
+)
+from fusionsense_tpu.train.checkpoint import save_checkpoint
+from fusionsense_tpu.train.trainer import TrainData, Trainer
+from fusionsense_tpu.utils.ply import write_ply
+
+
+@dataclasses.dataclass
+class PipelineConfig:
+    data: DataParserConfig = dataclasses.field(default_factory=DataParserConfig)
+    experiment: ExperimentConfig = dataclasses.field(
+        default_factory=ExperimentConfig)
+    gel_scale: float = 6.34e-5
+    run_visual_hull: bool = True
+    run_hull_pruning: bool = True
+    high_grad_export: bool = True
+    output_dir: str = "outputs"
+
+
+class ReconstructionPipeline:
+    def __init__(self, cfg: PipelineConfig):
+        self.cfg = cfg
+        self.out = Path(cfg.output_dir)
+        self.out.mkdir(parents=True, exist_ok=True)
+        self.scene = parse_transforms(cfg.data)
+        self.camera, self.data = load_train_data(self.scene, cfg.data, "train")
+        self.hull_points: Optional[np.ndarray] = None
+        self.trainer: Optional[Trainer] = None
+
+    # ---------------------------------------------------------- priors ----
+    def build_priors(self):
+        cfg = self.cfg
+        scene = self.scene
+        if scene.hull_points is not None:
+            self.hull_points = np.asarray(scene.hull_points)
+        elif cfg.run_visual_hull and self.data.masks is not None:
+            from fusionsense_tpu.priors.visual_hull import visual_hull
+
+            self.hull_points = visual_hull(self.data.masks, self.camera)
+            write_ply(self.out / "foreground_pcd.ply", self.hull_points)
+
+        if scene.seed_points is not None:
+            pts = jnp.asarray(scene.seed_points)
+            rgb = jnp.asarray(
+                scene.seed_colors if scene.seed_colors is not None
+                else np.full((len(pts), 3), 0.5, np.float32))
+            normals = (jnp.asarray(scene.seed_normals)
+                       if scene.seed_normals is not None else None)
+        else:
+            depth_src = (self.data.sensor_depths
+                         if self.data.sensor_depths is not None
+                         else self.data.mono_depths)
+            assert depth_src is not None, (
+                "need seed pcd (ply_file_path) or depth maps to initialize")
+            from fusionsense_tpu.priors.pcd_init import seed_pcd_from_depths
+
+            pts_np, rgb_np = seed_pcd_from_depths(
+                depth_src, self.data.images, self.camera,
+                hull_points=self.hull_points)
+            write_ply(self.out / "merged_pcd.ply", pts_np, colors=rgb_np)
+            pts, rgb, normals = jnp.asarray(pts_np), jnp.asarray(rgb_np), None
+        return pts, rgb, normals
+
+    # ----------------------------------------------------------- train ----
+    def train(self, log=print):
+        cfg = self.cfg
+        ec = cfg.experiment
+        pts, rgb, normals = self.build_priors()
+        capacity = ec.model.capacity
+        if pts.shape[0] > capacity // 2:
+            stride = pts.shape[0] // (capacity // 2) + 1
+            pts, rgb = pts[::stride], rgb[::stride]
+            normals = normals[::stride] if normals is not None else None
+        gaussians = init_from_points(
+            pts, rgb, capacity=capacity, sh_degree=ec.model.sh_degree,
+            seed_normals=normals, init_opacity=ec.model.init_opacity)
+
+        callbacks = []
+        state = {"touch_added": False, "high_grad_done": False}
+        hull_j = (jnp.asarray(self.hull_points)
+                  if self.hull_points is not None and len(self.hull_points)
+                  else None)
+        boxes_ref = {}
+
+        if hull_j is not None and cfg.run_hull_pruning:
+            prune_j = jax.jit(lambda g: hull_prune(g, hull_j))
+
+            def hull_cb(tr):
+                if tr.step >= ec.train.adc.warmup:
+                    tr.gaussians = prune_j(tr.gaussians)
+            callbacks.append(hull_cb)
+
+        if self.scene.touch_patches:
+            def touch_cb(tr):
+                if (not state["touch_added"]
+                        and tr.step >= ec.train.add_touch_at):
+                    tr.gaussians, tr.opt, boxes_ref["boxes"] = (
+                        add_touch_patches(
+                            tr.gaussians, tr.opt, self.scene.touch_patches,
+                            gel_scale=cfg.gel_scale,
+                            scene_scale=self.scene.scale))
+                    state["touch_added"] = True
+                elif state["touch_added"]:
+                    tr.gaussians = touch_prune(tr.gaussians,
+                                               boxes_ref["boxes"])
+            callbacks.append(touch_cb)
+
+        if cfg.high_grad_export:
+            def high_grad_cb(tr):
+                target = ec.train.adc.stop_split_at - 500
+                if not state["high_grad_done"] and tr.step >= target:
+                    from fusionsense_tpu.touch_select.high_grad import (
+                        export_high_grad_pcd,
+                    )
+
+                    n = export_high_grad_pcd(
+                        self.out / "high_grad_pts.pcd", tr.gaussians,
+                        tr.stats, self.hull_points,
+                        untransform=self.scene.untransform_points)
+                    state["high_grad_done"] = True
+                    if log:
+                        log(f"high-grad export: {n} points")
+            callbacks.append(high_grad_cb)
+
+        self.trainer = Trainer(ec, self.camera, self.data, gaussians,
+                               scene_scale=1.0, extra_callbacks=callbacks)
+        hist = self.trainer.run(log=log)
+        save_checkpoint(self.out / f"ckpt_{self.trainer.step}",
+                        self.trainer.gaussians, self.trainer.opt,
+                        self.trainer.stats, self.trainer.step,
+                        extra={"history": hist[-5:]})
+        return hist
+
+    # ------------------------------------------------------------ mesh ----
+    def extract_mesh(self, method: str = "tsdf", **kw):
+        from fusionsense_tpu.mesh_export import extract
+
+        assert self.trainer is not None, "train first"
+        return extract(
+            method, self.trainer.gaussians, self.camera,
+            rasterize_cfg=self.cfg.experiment.model.rasterize,
+            out_dir=self.out, untransform=self.scene.untransform_points,
+            hull_points=self.hull_points, **kw)
+
+    # ------------------------------------------------------------ eval ----
+    def evaluate(self, split: str = "train"):
+        from fusionsense_tpu.eval.evaluator import evaluate
+
+        assert self.trainer is not None, "train first"
+        cam, data = ((self.camera, self.data) if split == "train"
+                     else load_train_data(self.scene, self.cfg.data, split))
+        res = evaluate(self.trainer.gaussians, cam, data,
+                       self.cfg.experiment.model.rasterize)
+        with open(self.out / "metrics.json", "w") as f:
+            json.dump(res, f, indent=2)
+        return res

@@ -1,22 +1,27 @@
-"""Tile binning with static shapes: depth sort + capped pair expansion.
+"""Tile binning with static shapes: one fused-key sort over a static cover
+window.
 
 Replaces gsplat's dynamic tile-binning CUDA stage (atomic counters + radix
 sort over (tile, depth) keys) with a shape-static TPU design:
 
-1. argsort all Gaussians by depth once per frame (XLA global sort),
-2. expand each Gaussian into at most MAX_TILES_PER_GAUSSIAN (tile, gaussian)
-   pairs via a *static* slot loop with dynamic arithmetic (no data-dependent
-   shapes),
-3. stable-sort the pairs by tile id — stability preserves depth order within
-   each tile — and slice each tile's first TILE_CAPACITY entries.
+1. each Gaussian may cover a static window of up to `window` x `window`
+   tiles anchored at its bbox corner — enumerated with adds/compares only
+   (no integer div/mod, which are slow on the VPU),
+2. every (gaussian, window-slot) pair gets ONE int32 key
+   `tile_id << depth_bits | depth_rank`; a single argsort orders pairs by
+   tile then by depth (depth rank comes from a cheap N-element argsort),
+3. per-tile segments located by searchsorted; each tile keeps its first
+   TILE_CAPACITY (nearest) entries.
 
 Everything downstream (gather + composite) sees fixed [num_tiles, capacity]
 arrays, so jit compiles once per resolution/capacity bucket. Overflowing a
-tile's capacity drops the *farthest* Gaussians (they are the most occluded);
-the overflow count is returned for monitoring.
+tile's capacity drops the *farthest* Gaussians (the most occluded); the
+overflow count is returned for monitoring, as is the count of pairs dropped
+by the static cover window.
 """
 from __future__ import annotations
 
+import math
 from typing import NamedTuple
 
 import jax
@@ -31,7 +36,8 @@ class TileBins(NamedTuple):
     mask: jax.Array
     # scalar: total (tile, gaussian) pairs dropped due to capacity overflow
     overflow: jax.Array
-    # scalar: pairs dropped because a Gaussian covered > max_tiles tiles
+    # scalar: pairs dropped because a Gaussian covered more tiles than the
+    # static window allows
     truncated: jax.Array
 
 
@@ -50,56 +56,65 @@ def bin_gaussians(
     tiles_x = -(-width // tile_size)
     tiles_y = -(-height // tile_size)
     num_tiles = tiles_x * tiles_y
-    C = max_tiles_per_gaussian
     K = tile_capacity
+    # static square cover window (e.g. cap 16 -> 4x4 tiles)
+    win = max(1, int(math.isqrt(max_tiles_per_gaussian)))
+    C = win * win
+
+    depth_bits = max(1, (N - 1).bit_length())   # depth rank fits below tile id
+    assert (num_tiles + 1) << depth_bits < 2 ** 31, (
+        "key overflow: reduce capacity or tiles (int64 path not implemented)")
 
     valid = radius > 0
 
-    # ---- 1. global depth sort (invalid pushed to the back) ----------------
-    sort_depth = jnp.where(valid, depth, jnp.inf)
-    order = jnp.argsort(sort_depth)                       # (N,) near -> far
-    mean2d_s = mean2d[order]
-    radius_s = radius[order]
-    valid_s = valid[order]
+    # ---- depth ranks (near -> far) ----------------------------------------
+    order = jnp.argsort(jnp.where(valid, depth, jnp.inf))
+    rank = jnp.zeros((N,), jnp.int32).at[order].set(
+        jnp.arange(N, dtype=jnp.int32))
 
-    # ---- 2. capped expansion into (tile, gaussian) pairs ------------------
-    # tile-bbox of each (sorted) Gaussian, clipped to the screen
-    tx0 = jnp.clip(jnp.floor((mean2d_s[:, 0] - radius_s) / tile_size), 0, tiles_x - 1)
-    tx1 = jnp.clip(jnp.floor((mean2d_s[:, 0] + radius_s) / tile_size), 0, tiles_x - 1)
-    ty0 = jnp.clip(jnp.floor((mean2d_s[:, 1] - radius_s) / tile_size), 0, tiles_y - 1)
-    ty1 = jnp.clip(jnp.floor((mean2d_s[:, 1] + radius_s) / tile_size), 0, tiles_y - 1)
-    tx0, tx1, ty0, ty1 = (v.astype(jnp.int32) for v in (tx0, tx1, ty0, ty1))
-    bw = tx1 - tx0 + 1                                    # dynamic values,
-    bh = ty1 - ty0 + 1                                    # static shapes
-    cover = bw * bh
+    # ---- static-window pair expansion -------------------------------------
+    tx0 = jnp.clip(jnp.floor((mean2d[:, 0] - radius) / tile_size), 0, tiles_x - 1).astype(jnp.int32)
+    tx1 = jnp.clip(jnp.floor((mean2d[:, 0] + radius) / tile_size), 0, tiles_x - 1).astype(jnp.int32)
+    ty0 = jnp.clip(jnp.floor((mean2d[:, 1] - radius) / tile_size), 0, tiles_y - 1).astype(jnp.int32)
+    ty1 = jnp.clip(jnp.floor((mean2d[:, 1] + radius) / tile_size), 0, tiles_y - 1).astype(jnp.int32)
+    bw = tx1 - tx0 + 1
+    bh = ty1 - ty0 + 1
 
-    # static slot loop: slot j of Gaussian n covers tile (ty0 + j//bw, tx0 + j%bw)
-    j = jnp.arange(C, dtype=jnp.int32)[None, :]           # (1, C)
-    jx = j % bw[:, None]
-    jy = j // bw[:, None]
-    pair_ok = valid_s[:, None] & (j < cover[:, None])
-    tile_id = (ty0[:, None] + jy) * tiles_x + (tx0[:, None] + jx)
-    tile_id = jnp.where(pair_ok, tile_id, num_tiles)      # sentinel sorts last
-    truncated = jnp.sum(jnp.where(valid_s, jnp.maximum(cover - C, 0), 0))
+    dx = jnp.arange(win, dtype=jnp.int32)
+    dy = jnp.arange(win, dtype=jnp.int32)
+    # (N, win, win) covered-tile ids
+    tile_id = ((ty0[:, None, None] + dy[None, :, None]) * tiles_x
+               + tx0[:, None, None] + dx[None, None, :])
+    pair_ok = (valid[:, None, None]
+               & (dy[None, :, None] < bh[:, None, None])
+               & (dx[None, None, :] < bw[:, None, None]))
+    truncated = jnp.sum(jnp.where(
+        valid, jnp.maximum(bw, 0) * jnp.maximum(bh, 0)
+        - jnp.minimum(bw, win) * jnp.minimum(bh, win), 0))
 
-    # ---- 3. stable sort pairs by tile id ---------------------------------
-    flat_tile = tile_id.reshape(-1)                       # (N*C,)
-    # pair i corresponds to sorted-gaussian i//C -> original index order[i//C]
-    flat_gauss = jnp.repeat(order.astype(jnp.int32), C)
-    pair_order = jnp.argsort(flat_tile, stable=True)
-    sorted_tile = flat_tile[pair_order]
-    sorted_gauss = flat_gauss[pair_order]
+    key = jnp.where(pair_ok,
+                    (tile_id << depth_bits) | rank[:, None, None],
+                    jnp.int32((num_tiles << depth_bits)))
+    flat_key = key.reshape(-1)                       # (N*C,)
 
-    # per-tile segment starts/ends in the sorted pair array
+    # ---- one sort orders pairs by (tile, depth) ---------------------------
+    pair_order = jnp.argsort(flat_key)
+    sorted_key = flat_key[pair_order]
+    sorted_tile = sorted_key >> depth_bits
+    # pair i belongs to gaussian i // C; win*win is a power of two when win
+    # is, but use a shift-free exact division via multiply trick: i // C for
+    # static C compiles to a cheap constant-division
+    sorted_gauss = (pair_order // C).astype(jnp.int32)
+
+    # ---- per-tile segments -------------------------------------------------
     starts = jnp.searchsorted(sorted_tile, jnp.arange(num_tiles, dtype=jnp.int32))
     ends = jnp.searchsorted(sorted_tile, jnp.arange(1, num_tiles + 1, dtype=jnp.int32))
     counts = ends - starts
     overflow = jnp.sum(jnp.maximum(counts - K, 0))
 
-    # ---- 4. slice each tile's first K pairs ------------------------------
-    slot = jnp.arange(K, dtype=jnp.int32)[None, :]        # (1, K)
+    slot = jnp.arange(K, dtype=jnp.int32)[None, :]
     gather_idx = jnp.minimum(starts[:, None] + slot, N * C - 1)
-    idx = sorted_gauss[gather_idx]                        # (T, K)
+    idx = sorted_gauss[gather_idx]
     mask = slot < counts[:, None]
     idx = jnp.where(mask, idx, -1)
 

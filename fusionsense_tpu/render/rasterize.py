@@ -44,6 +44,10 @@ class RasterizeConfig:
     antialiased: bool = False
     sh_degree: int = 3
     radius_clip: float = 0.0
+    # compositing backend: "jax" (XLA cumsum formulation) or "pallas"
+    # (fused streaming kernel with early termination; TPU only)
+    backend: str = "jax"
+    pallas_chunk: int = 128
 
 
 class RenderOutputs(NamedTuple):
@@ -149,10 +153,26 @@ def rasterize(
     )
     tile_chan = jnp.where(bins.mask[..., None], channels[idx], 0.0)  # (T, K, 7)
 
-    feats = pixel_features(grid)
-    out_tiled, alpha_tiled = composite_tiles(
-        feats, tile_coeff, tile_chan, tile_chunk=cfg.tile_chunk
-    )
+    if cfg.backend == "pallas":
+        from fusionsense_tpu.render.pallas_composite import pallas_composite
+
+        nchan = tile_chan.shape[-1]
+        pad_c = (-nchan) % 8
+        if pad_c:
+            tile_chan_p = jnp.concatenate(
+                [tile_chan, jnp.zeros(tile_chan.shape[:-1] + (pad_c,))], -1)
+        else:
+            tile_chan_p = tile_chan
+        counts = jnp.sum(bins.mask, axis=-1).astype(jnp.int32)
+        out_tiled, alpha_tiled = pallas_composite(
+            tile_coeff, tile_chan_p, counts, grid.tiles_x, cfg.tile_size,
+            cfg.pallas_chunk)
+        out_tiled = out_tiled[..., :nchan]
+    else:
+        feats = pixel_features(grid)
+        out_tiled, alpha_tiled = composite_tiles(
+            feats, tile_coeff, tile_chan, tile_chunk=cfg.tile_chunk
+        )
 
     img = tiles_to_image(out_tiled, grid)                     # (H, W, 7)
     alpha = tiles_to_image(alpha_tiled, grid)                 # (H, W)

@@ -158,10 +158,10 @@ def superpoints(points: np.ndarray, k: int = 10, reg: float = 0.05,
     w = np.ones(len(src), np.float32)
 
     try:
-        from fusionsense_tpu.native import cutpursuit as _cp
+        from fusionsense_tpu.native import cutpursuit as _cutpursuit
 
-        labels = _cp.cutpursuit(feats.astype(np.float32), src.astype(np.uint32),
-                                dst.astype(np.uint32), w, reg)
+        labels = _cutpursuit(feats.astype(np.float32), src, dst,
+                             edge_w=w, reg=reg)
     except Exception:
         labels = _region_grow(points, normals, idx[:, 1:],
                               angle_thresh=0.90)

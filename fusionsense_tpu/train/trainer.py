@@ -218,17 +218,22 @@ class Trainer:
         self.key = jax.random.PRNGKey(cfg.train.seed)
         self.extra_callbacks = extra_callbacks or []
         self._train_chunk = make_train_chunk(cfg, camera, data, adam_groups)
+        # seed folded inside jit: jax.random.PRNGKey on the host is an
+        # eager device op (a full round trip on a networked TPU)
         self._refine = jax.jit(
-            functools.partial(refine, cfg=cfg.train.adc,
-                              scene_scale=scene_scale)
-        )
+            lambda g, o, st, seed, step: refine(
+                g, o, st, jax.random.PRNGKey(seed), cfg.train.adc, step,
+                scene_scale=scene_scale))
         self.history: list[dict] = []
 
-    def _cam_indices(self, n: int) -> jnp.ndarray:
+    def _cam_indices(self, n: int):
         # sequential camera order, like the reference datamanager
-        # (dn_datamanager.py:99-102)
-        idx = (self.step + jnp.arange(n)) % self.num_views
-        return idx.astype(jnp.int32)
+        # (dn_datamanager.py:99-102). Host numpy: on a networked TPU every
+        # eager device op is a round trip, so the loop must dispatch exactly
+        # one jitted call per chunk.
+        import numpy as _np
+
+        return _np.arange(self.step, self.step + n, dtype=_np.int32) % self.num_views
 
     def run(self, iterations: Optional[int] = None, log=print):
         cfg = self.cfg
@@ -245,29 +250,35 @@ class Trainer:
                 next_refine = adc.warmup
             n = max(1, min(n, next_refine - self.step))
 
+            import numpy as _np
+
             g, o, s, metrics = self._train_chunk(
                 self.gaussians, self.opt, self.stats,
-                jnp.asarray(self.step, jnp.int32), self._cam_indices(n),
+                _np.int32(self.step), self._cam_indices(n),
             )
             self.gaussians, self.opt, self.stats = g, o, s
             self.step += n
 
             if (self.step >= adc.warmup and self.step < adc.stop_split_at
                     and (self.step - adc.warmup) % adc.refine_every == 0):
-                self.key, k = jax.random.split(self.key)
+                seed = _np.uint32(cfg.train.seed * 1_000_003 + self.step)
                 self.gaussians, self.opt, self.stats, info = self._refine(
-                    self.gaussians, self.opt, self.stats, k,
-                    step=jnp.asarray(self.step, jnp.int32),
+                    self.gaussians, self.opt, self.stats, seed,
+                    _np.int32(self.step),
                 )
             for cb in self.extra_callbacks:
                 cb(self)
 
             if self.step % cfg.train.log_every == 0 or self.step >= total:
+                # ONE device->host transfer for all logged scalars
+                loss_h, psnr_h, n_alive = jax.device_get(
+                    (metrics["loss"][-1], metrics["psnr"][-1],
+                     self.gaussians.num_alive))
                 rec = {
                     "step": self.step,
-                    "loss": float(metrics["loss"][-1]),
-                    "psnr": float(metrics["psnr"][-1]),
-                    "num_gaussians": int(self.gaussians.num_alive),
+                    "loss": float(loss_h),
+                    "psnr": float(psnr_h),
+                    "num_gaussians": int(n_alive),
                     "elapsed_s": time.time() - t0,
                 }
                 self.history.append(rec)

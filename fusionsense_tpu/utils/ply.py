@@ -40,7 +40,8 @@ def write_ply(
         cols.append(colors)
     if extra:
         for name, arr in extra.items():
-            arr = np.asarray(arr, np.float32).reshape(n, -1)
+            arr = np.asarray(arr, np.float32)
+            arr = arr.reshape(n, arr.size // n if n else 1)
             for j in range(arr.shape[1]):
                 pname = name if arr.shape[1] == 1 else f"{name}_{j}"
                 props.append((pname, "f4"))
@@ -155,7 +156,9 @@ def write_pcd(path, points: np.ndarray, colors: np.ndarray | None = None,
         cols.append(packed[:, None])
     if extra:
         for name, arr in extra.items():
-            arr = np.asarray(arr, np.float32).reshape(n, -1)
+            arr = np.asarray(arr, np.float32)
+            width_ = arr.size // n if n else 1
+            arr = arr.reshape(n, width_)
             for j in range(arr.shape[1]):
                 fields.append(name if arr.shape[1] == 1 else f"{name}_{j}")
                 sizes.append("4"); types.append("F"); counts.append("1")

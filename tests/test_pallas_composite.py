@@ -1,0 +1,75 @@
+"""Pallas compositing kernel vs the pure-JAX oracle (interpret mode on CPU)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from fusionsense_tpu.core.cameras import make_camera
+from fusionsense_tpu.render import RasterizeConfig, rasterize
+from fusionsense_tpu.render.naive import rasterize_naive
+
+CFG_J = RasterizeConfig(tile_size=16, tile_capacity=256,
+                        max_tiles_per_gaussian=16, tile_chunk=8, sh_degree=0,
+                        backend="jax")
+CFG_P = RasterizeConfig(tile_size=16, tile_capacity=256,
+                        max_tiles_per_gaussian=16, tile_chunk=8, sh_degree=0,
+                        backend="pallas", pallas_chunk=128)
+
+
+def scene(key, n=40):
+    from fusionsense_tpu.core.transforms import random_quats
+
+    k1, k2, k3, k4, k5 = jax.random.split(key, 5)
+    means = jnp.concatenate(
+        [jax.random.uniform(k1, (n, 2), minval=-0.5, maxval=0.5),
+         jax.random.uniform(k2, (n, 1), minval=1.0, maxval=3.0)], -1)
+    quats = random_quats(k3, n)
+    scales = jax.random.uniform(k4, (n, 3), minval=0.02, maxval=0.1)
+    opac = jax.random.uniform(k5, (n,), minval=0.3, maxval=0.95)
+    colors = jax.random.uniform(jax.random.PRNGKey(7), (n, 3))
+    return means, quats, scales, opac, colors
+
+
+def test_pallas_forward_matches_jax():
+    cam = make_camera(jnp.eye(4), 80.0, 80.0, 32.0, 24.0, 64, 48)
+    sc = scene(jax.random.PRNGKey(0))
+    out_j = rasterize(*sc, cam, CFG_J)
+    out_p = rasterize(*sc, cam, CFG_P)
+    np.testing.assert_allclose(out_p.rgb, out_j.rgb, atol=3e-4)
+    np.testing.assert_allclose(out_p.alpha, out_j.alpha, atol=3e-4)
+    np.testing.assert_allclose(out_p.depth, out_j.depth, atol=3e-3)
+    np.testing.assert_allclose(out_p.normal, out_j.normal, atol=3e-3)
+
+
+def test_pallas_backward_matches_jax():
+    cam = make_camera(jnp.eye(4), 80.0, 80.0, 16.0, 16.0, 32, 32)
+    sc = scene(jax.random.PRNGKey(1), n=15)
+    target = jnp.full((32, 32, 3), 0.4)
+
+    def loss(cfg, m, q, s, o, c):
+        out = rasterize(m, q, s, o, c, cam, cfg)
+        return (jnp.mean((out.rgb - target) ** 2)
+                + 0.01 * jnp.mean(out.depth)
+                + 0.05 * jnp.mean(out.alpha))
+
+    g_j = jax.grad(lambda *a: loss(CFG_J, *a), argnums=(0, 1, 2, 3, 4))(*sc)
+    g_p = jax.grad(lambda *a: loss(CFG_P, *a), argnums=(0, 1, 2, 3, 4))(*sc)
+    for a, b in zip(g_p, g_j):
+        assert jnp.all(jnp.isfinite(a))
+        np.testing.assert_allclose(a, b, atol=1e-4, rtol=2e-2)
+
+
+def test_pallas_saturated_early_exit_correct():
+    """Many opaque gaussians stacked: early exit must not change the image."""
+    cam = make_camera(jnp.eye(4), 80.0, 80.0, 16.0, 16.0, 32, 32)
+    n = 60
+    means = jnp.tile(jnp.array([[0.0, 0.0, 0.0]]), (n, 1)).at[:, 2].set(
+        1.0 + 0.01 * jnp.arange(n))
+    quats = jnp.tile(jnp.array([[1.0, 0, 0, 0]]), (n, 1))
+    scales = jnp.full((n, 3), 0.3)
+    opac = jnp.full((n,), 0.9)
+    colors = jax.random.uniform(jax.random.PRNGKey(2), (n, 3))
+    out_j = rasterize(means, quats, scales, opac, colors, cam, CFG_J)
+    out_p = rasterize(means, quats, scales, opac, colors, cam, CFG_P)
+    np.testing.assert_allclose(out_p.rgb, out_j.rgb, atol=1e-3)
+    np.testing.assert_allclose(out_p.alpha, out_j.alpha, atol=1e-3)
