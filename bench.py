@@ -51,8 +51,8 @@ def main():
     from fusionsense_tpu.train.trainer import TrainData, Trainer
 
     rcfg = RasterizeConfig(tile_size=16, tile_capacity=512,
-                           max_tiles_per_gaussian=32, tile_chunk=100,
-                           sh_degree=3)
+                           max_tiles_per_gaussian=16, tile_chunk=100,
+                           sh_degree=3, backend="pallas")
     cams = ring_cameras(n_views=N_VIEWS, width=WIDTH, height_px=HEIGHT,
                         focal=550.0)
 
@@ -118,7 +118,7 @@ def main():
         "extra": {
             "mpix_per_sec_rasterized": round(mpix_per_sec, 2),
             "num_gaussians": int(tr.gaussians.num_alive),
-            "capacity": CAPACITY,
+            "capacity": tr.gaussians.capacity,
             "measured_steps": steps,
             "psnr_last": tr.history[-1]["psnr"] if tr.history else None,
         },

@@ -31,6 +31,8 @@ class LossConfig:
     flatness_lambda: float = 1.0        # 2D-Gaussian min-scale loss
     sparse_lambda: float = 0.0          # opacity entropy (optional)
     touch_normal_lambda: float = 1.0    # reference dn_model.py:137
+    sdf_lambda: float = 0.0             # SuGaR sdf loss (dn_model.py:838-882)
+    sdf_samples: int = 1024
 
 
 @dataclasses.dataclass(frozen=True)
@@ -54,6 +56,10 @@ class TrainConfig:
     steps_per_save: int = 15_000
     log_every: int = 100
     scan_chunk: int = 100               # steps fused into one device dispatch
+    auto_capacity: bool = True          # power-of-two capacity bucketing
+    camera_opt: bool = False            # optimize SE3 camera deltas
+    camera_opt_lr: float = 1e-3         # reference dn_config camera_opt lr
+    camera_opt_every_k: int = 100       # grad accumulation (dn_config.py:29)
 
 
 @dataclasses.dataclass(frozen=True)

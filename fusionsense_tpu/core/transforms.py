@@ -139,6 +139,47 @@ def rotation_between(a: jax.Array, b: jax.Array) -> jax.Array:
     return normalize(q)
 
 
+def exp_so3(w: jax.Array, eps: float = 1e-8) -> jax.Array:
+    """(..., 3) axis-angle -> (..., 3, 3) rotation (Rodrigues, small-angle
+    safe). Used by the camera pose optimizer."""
+    # theta_sq is smooth at w=0; guard the sqrt branch so the unselected
+    # side of each where never produces NaN *gradients* (the where-grad trap)
+    theta_sq = jnp.sum(w * w, axis=-1, keepdims=True)
+    small = theta_sq < 1e-8
+    tsq_safe = jnp.where(small, 1.0, theta_sq)
+    theta = jnp.sqrt(tsq_safe)
+    a = jnp.where(small, 1.0 - theta_sq / 6.0, jnp.sin(theta) / theta)
+    b = jnp.where(small, 0.5 - theta_sq / 24.0,
+                  (1.0 - jnp.cos(theta)) / tsq_safe)
+    wx, wy, wz = w[..., 0], w[..., 1], w[..., 2]
+    zero = jnp.zeros_like(wx)
+    K = jnp.stack([
+        jnp.stack([zero, -wz, wy], -1),
+        jnp.stack([wz, zero, -wx], -1),
+        jnp.stack([-wy, wx, zero], -1),
+    ], -2)
+    eye = jnp.broadcast_to(jnp.eye(3, dtype=w.dtype), K.shape)
+    return eye + a[..., None] * K + b[..., None] * (K @ K)
+
+
+def apply_se3_delta(viewmat: jax.Array, delta: jax.Array) -> jax.Array:
+    """Left-compose a small SE3 correction onto a (4, 4) world-to-camera.
+
+    delta = (..., 6): [rotation axis-angle (3), translation (3)]. The
+    analog of the reference's SO3xR3 camera optimizer
+    (nerfstudio camera_opt consumed at dn_model.py:488)."""
+    R = exp_so3(delta[..., :3])
+    t = delta[..., 3:]
+    Rv = viewmat[..., :3, :3]
+    tv = viewmat[..., :3, 3]
+    top = jnp.concatenate(
+        [R @ Rv, (jnp.einsum("...ij,...j->...i", R, tv) + t)[..., None]], -1)
+    bottom = jnp.broadcast_to(
+        jnp.array([0.0, 0.0, 0.0, 1.0], viewmat.dtype),
+        top.shape[:-2] + (1, 4))
+    return jnp.concatenate([top, bottom], -2)
+
+
 def quat_scale_to_cov3d(quat: jax.Array, scale: jax.Array) -> jax.Array:
     """(..., 4), (..., 3) -> (..., 3, 3) covariance R S S^T R^T.
 

@@ -62,14 +62,17 @@ class GaussianState:
 
 def new_state(capacity: int, sh_degree: int = 3) -> GaussianState:
     K = num_sh_bases(sh_degree)
+    f32 = jnp.float32  # explicit dtypes: weak-typed arrays (jnp.full with a
+    # python float) would flip to strong after the first jitted step and
+    # force a full recompile of the training chunk
     return GaussianState(
-        means=jnp.zeros((capacity, 3)),
-        quats=jnp.zeros((capacity, 4)).at[:, 0].set(1.0),
-        log_scales=jnp.full((capacity, 3), -5.0),
-        logit_opacities=jnp.full((capacity,), -10.0),
-        features_dc=jnp.zeros((capacity, 3)),
-        features_rest=jnp.zeros((capacity, K - 1, 3)),
-        normals=jnp.zeros((capacity, 3)).at[:, 2].set(1.0),
+        means=jnp.zeros((capacity, 3), f32),
+        quats=jnp.zeros((capacity, 4), f32).at[:, 0].set(1.0),
+        log_scales=jnp.full((capacity, 3), -5.0, f32),
+        logit_opacities=jnp.full((capacity,), -10.0, f32),
+        features_dc=jnp.zeros((capacity, 3), f32),
+        features_rest=jnp.zeros((capacity, K - 1, 3), f32),
+        normals=jnp.zeros((capacity, 3), f32).at[:, 2].set(1.0),
         alive=jnp.zeros((capacity,), bool),
         frozen=jnp.zeros((capacity,), bool),
     )

@@ -27,7 +27,9 @@ from fusionsense_tpu.core.cameras import Camera
 from fusionsense_tpu.gaussians.adc import (
     accumulate_stats, init_stats, refine, RefineStats,
 )
+from fusionsense_tpu.gaussians.resize import pick_capacity, resize_train_state
 from fusionsense_tpu.gaussians.store import GaussianState, activated
+from fusionsense_tpu.core.transforms import apply_se3_delta
 from fusionsense_tpu.render.rasterize import (
     gaussian_flat_normals, rasterize,
 )
@@ -64,6 +66,7 @@ def compute_losses(
     step: jax.Array,
     cfg: ExperimentConfig,
     tap: jax.Array,
+    cam_delta: Optional[jax.Array] = None,   # (6,) SE3 pose correction
 ):
     """Forward + composite DN-Splatter loss for one camera."""
     mc, lc = cfg.model, cfg.loss
@@ -75,6 +78,11 @@ def compute_losses(
     colors = colors * sh_band_mask(mc.sh_degree, step, mc.sh_degree_interval)[None, :, None]
 
     cam_i = camera.index(cam_idx)
+    if cam_delta is not None:
+        # the reference's camera optimizer applied per forward
+        # (dn_model.py:488 camera_optimizer.apply_to_camera)
+        cam_i = cam_i.replace(
+            viewmat=apply_se3_delta(cam_i.viewmat, cam_delta))
     normals_g = gaussian_flat_normals(quats, scales, means, cam_i.origin)
     out = rasterize(
         means, quats, scales, op, colors, cam_i, mc.rasterize,
@@ -145,6 +153,15 @@ def compute_losses(
         parts["touch_normal"] = tn
         total = total + lc.touch_normal_lambda * tn
 
+    if lc.sdf_lambda > 0:
+        from fusionsense_tpu.train.sdf_loss import sdf_loss
+
+        sdfl = sdf_loss(jax.random.PRNGKey(step), means, quats, scales, op,
+                        gaussians.alive, out.depth, cam_i,
+                        n_samples=lc.sdf_samples)
+        parts["sdf"] = sdfl
+        total = total + lc.sdf_lambda * sdfl
+
     aux = {
         "radius": out.radius,
         "psnr": -10.0 * jnp.log10(jnp.mean((out.rgb - image_gt) ** 2) + 1e-10),
@@ -161,34 +178,53 @@ def make_train_chunk(cfg: ExperimentConfig, camera: Camera, data: TrainData,
     (gaussians, opt, stats, metrics) running len(cam_indices) fused steps.
     """
     adam_groups = adam_groups or DEFAULT_GROUPS
+    use_cam_opt = cfg.train.camera_opt
 
     def body(carry, cam_idx):
-        gaussians, opt, stats, step = carry
+        gaussians, opt, cam_state, stats, step = carry
+        cam_deltas, cam_m, cam_v, cam_acc = cam_state
 
-        def loss_fn(params, tap):
+        def loss_fn(params, tap, deltas):
             g = gaussians.replace(**params)
-            return compute_losses(g, camera, data, cam_idx, step, cfg, tap)
+            delta = deltas[cam_idx] if use_cam_opt else None
+            return compute_losses(g, camera, data, cam_idx, step, cfg, tap,
+                                  cam_delta=delta)
 
         tap0 = jnp.zeros((gaussians.capacity, 2))
         (loss, (parts, aux)), grads = jax.value_and_grad(
-            loss_fn, argnums=(0, 1), has_aux=True
-        )(gaussians.params(), tap0)
-        param_grads, tap_grad = grads
+            loss_fn, argnums=(0, 1, 2), has_aux=True
+        )(gaussians.params(), tap0, cam_deltas)
+        param_grads, tap_grad, delta_grads = grads
 
         params, opt2 = adam_step(gaussians.params(), param_grads, opt, step,
                                  gaussians.alive, groups=adam_groups)
         gaussians2 = gaussians.replace(**params)
+
+        if use_cam_opt:
+            # accumulated Adam on the (V, 6) pose deltas
+            tc = cfg.train
+            cam_acc = cam_acc + delta_grads
+            do = (step + 1) % tc.camera_opt_every_k == 0
+            m2 = 0.9 * cam_m + 0.1 * cam_acc
+            v2 = 0.999 * cam_v + 0.001 * cam_acc * cam_acc
+            upd = tc.camera_opt_lr * m2 / (jnp.sqrt(v2) + 1e-15)
+            cam_deltas = jnp.where(do, cam_deltas - upd, cam_deltas)
+            cam_m = jnp.where(do, m2, cam_m)
+            cam_v = jnp.where(do, v2, cam_v)
+            cam_acc = jnp.where(do, jnp.zeros_like(cam_acc), cam_acc)
+
         stats2 = accumulate_stats(stats, tap_grad, aux["radius"],
                                   camera.width, camera.height)
         metrics = {"loss": loss, "psnr": aux["psnr"], "overflow": aux["overflow"]}
-        return (gaussians2, opt2, stats2, step + 1), metrics
+        return (gaussians2, opt2, (cam_deltas, cam_m, cam_v, cam_acc),
+                stats2, step + 1), metrics
 
     @jax.jit
-    def train_chunk(gaussians, opt, stats, step0, cam_indices):
-        (gaussians, opt, stats, _), metrics = jax.lax.scan(
-            body, (gaussians, opt, stats, step0), cam_indices
+    def train_chunk(gaussians, opt, cam_state, stats, step0, cam_indices):
+        (gaussians, opt, cam_state, stats, _), metrics = jax.lax.scan(
+            body, (gaussians, opt, cam_state, stats, step0), cam_indices
         )
-        return gaussians, opt, stats, metrics
+        return gaussians, opt, cam_state, stats, metrics
 
     return train_chunk
 
@@ -217,6 +253,11 @@ class Trainer:
         self.step = 0
         self.key = jax.random.PRNGKey(cfg.train.seed)
         self.extra_callbacks = extra_callbacks or []
+        self.max_capacity = gaussians.capacity
+        self.auto_capacity = cfg.train.auto_capacity
+        nv = data.images.shape[0]
+        z6 = jnp.zeros((nv, 6))
+        self.cam_state = (z6, z6, z6, z6)   # deltas, m, v, acc
         self._train_chunk = make_train_chunk(cfg, camera, data, adam_groups)
         # seed folded inside jit: jax.random.PRNGKey on the host is an
         # eager device op (a full round trip on a networked TPU)
@@ -224,6 +265,15 @@ class Trainer:
             lambda g, o, st, seed, step: refine(
                 g, o, st, jax.random.PRNGKey(seed), cfg.train.adc, step,
                 scene_scale=scene_scale))
+        if self.auto_capacity:
+            # start in the right bucket for the seed population
+            n0 = int(self.gaussians.num_alive)
+            cap0 = pick_capacity(n0, self.gaussians.capacity,
+                                 self.max_capacity,
+                                 minimum=min(1024, self.max_capacity))
+            if cap0 != self.gaussians.capacity:
+                self.gaussians, self.opt, self.stats = resize_train_state(
+                    self.gaussians, self.opt, self.stats, new_capacity=cap0)
         self.history: list[dict] = []
 
     def _cam_indices(self, n: int):
@@ -252,11 +302,11 @@ class Trainer:
 
             import numpy as _np
 
-            g, o, s, metrics = self._train_chunk(
-                self.gaussians, self.opt, self.stats,
+            g, o, cs, s, metrics = self._train_chunk(
+                self.gaussians, self.opt, self.cam_state, self.stats,
                 _np.int32(self.step), self._cam_indices(n),
             )
-            self.gaussians, self.opt, self.stats = g, o, s
+            self.gaussians, self.opt, self.cam_state, self.stats = g, o, cs, s
             self.step += n
 
             if (self.step >= adc.warmup and self.step < adc.stop_split_at
@@ -279,8 +329,18 @@ class Trainer:
                     "loss": float(loss_h),
                     "psnr": float(psnr_h),
                     "num_gaussians": int(n_alive),
+                    "capacity": self.gaussians.capacity,
                     "elapsed_s": time.time() - t0,
                 }
+                # capacity bucketing piggybacks on this host sync
+                if self.auto_capacity:
+                    cap = pick_capacity(int(n_alive), self.gaussians.capacity,
+                                        self.max_capacity,
+                                        minimum=min(1024, self.max_capacity))
+                    if cap != self.gaussians.capacity:
+                        self.gaussians, self.opt, self.stats = (
+                            resize_train_state(self.gaussians, self.opt,
+                                               self.stats, new_capacity=cap))
                 self.history.append(rec)
                 if log:
                     log(f"step {rec['step']:6d}  loss {rec['loss']:.4f}  "

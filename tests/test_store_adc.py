@@ -156,3 +156,34 @@ def test_opacity_reset():
     np.testing.assert_allclose(
         np.asarray(s2.logit_opacities)[alive], expected, atol=1e-5)
     np.testing.assert_allclose(np.asarray(opt2.m["logit_opacities"]), 0.0)
+
+
+def test_resize_roundtrip():
+    from fusionsense_tpu.gaussians.resize import (
+        next_bucket, pick_capacity, resize_train_state,
+    )
+
+    assert next_bucket(30_000) == 32_768
+    assert pick_capacity(900, 1024, 1 << 18) == 2048    # >80% -> grow
+    assert pick_capacity(200, 4096, 1 << 18) == 1024    # <30% -> shrink
+    assert pick_capacity(2000, 4096, 1 << 18) == 4096   # stable
+
+    s = small_state(n=10, capacity=64)
+    s = s.replace(frozen=s.frozen.at[2].set(True))
+    opt = init_adam(s.params())
+    opt.m["means"] = opt.m["means"].at[:10].set(7.0)
+    stats = init_stats(64)
+    # grow
+    g2, o2, st2 = resize_train_state(s, opt, stats, new_capacity=128)
+    assert g2.capacity == 128
+    assert int(g2.num_alive) == 10
+    np.testing.assert_allclose(g2.means[:10], s.means[:10])
+    np.testing.assert_allclose(o2.m["means"][:10], 7.0)
+    # shrink back down below: alive slots survive the permutation
+    g3, o3, st3 = resize_train_state(g2, o2, st2, new_capacity=16)
+    assert g3.capacity == 16
+    assert int(g3.num_alive) == 10
+    assert bool(g3.frozen[np.asarray(g3.alive)].any())
+    np.testing.assert_allclose(
+        np.sort(np.asarray(g3.means[np.asarray(g3.alive)]), axis=0),
+        np.sort(np.asarray(s.means[:10]), axis=0), atol=1e-6)

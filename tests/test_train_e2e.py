@@ -107,3 +107,36 @@ def test_trainer_refine_changes_population(fixture_scene):
     tr.run(log=None)
     # with a tiny grad threshold, densification must have added Gaussians
     assert int(tr.gaussians.num_alive) > 100
+
+
+def test_camera_opt_recovers_pose_noise(fixture_scene):
+    """With camera optimization on, training with slightly wrong poses must
+    move the deltas away from zero and still reduce loss."""
+    import dataclasses as dc
+
+    import jax
+
+    cams, data, rcfg = fixture_scene
+    # perturb camera poses
+    from fusionsense_tpu.core.transforms import apply_se3_delta
+
+    key = jax.random.PRNGKey(5)
+    noise = 0.01 * jax.random.normal(key, (cams.viewmat.shape[0], 6))
+    bad_cams = cams.replace(viewmat=apply_se3_delta(cams.viewmat, noise))
+
+    pts, rgb, _ = sphere_points(n=200, radius=0.5)
+    init = init_from_points(pts, rgb, capacity=512, sh_degree=1)
+    cfg = ExperimentConfig(
+        model=ModelConfig(sh_degree=1, rasterize=rcfg, capacity=512,
+                          binary_opacities=False),
+        train=TrainConfig(iterations=60, scan_chunk=20, camera_opt=True,
+                          camera_opt_every_k=4, camera_opt_lr=1e-3,
+                          adc=ADCConfig(warmup=1000)),
+        loss=LossConfig(normal_lambda=0.0, sensor_depth_lambda=0.0,
+                        smooth_lambda=0.0, flatness_lambda=0.0),
+    )
+    tr = Trainer(cfg, bad_cams, data, init)
+    hist = tr.run(log=None)
+    deltas = np.asarray(tr.cam_state[0])
+    assert np.abs(deltas).max() > 1e-5, "camera deltas never moved"
+    assert np.isfinite(hist[-1]["loss"])
