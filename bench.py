@@ -50,7 +50,7 @@ def main():
     from fusionsense_tpu.render.rasterize import RasterizeConfig, rasterize
     from fusionsense_tpu.train.trainer import TrainData, Trainer
 
-    rcfg = RasterizeConfig(tile_size=16, tile_capacity=512,
+    rcfg = RasterizeConfig(tile_size=16, tile_capacity=256,
                            max_tiles_per_gaussian=16, tile_chunk=100,
                            sh_degree=3, backend="pallas")
     cams = ring_cameras(n_views=N_VIEWS, width=WIDTH, height_px=HEIGHT,
@@ -121,6 +121,8 @@ def main():
             "capacity": tr.gaussians.capacity,
             "measured_steps": steps,
             "psnr_last": tr.history[-1]["psnr"] if tr.history else None,
+            "tile_overflow_last": (tr.history[-1].get("tile_overflow")
+                                   if tr.history else None),
         },
     }))
 

@@ -16,7 +16,12 @@ import numpy as np
 
 def build_parser():
     p = argparse.ArgumentParser("fs-render", description=__doc__)
-    p.add_argument("mode", choices=["dataset", "interpolate", "spiral"])
+    p.add_argument("mode",
+                   choices=["dataset", "interpolate", "spiral",
+                            "camera-path"])
+    p.add_argument("--camera-path", default=None,
+                   help="nerfstudio-style camera_path.json for camera-path"
+                        " mode (keyframed c2w matrices)")
     p.add_argument("--checkpoint", required=True)
     p.add_argument("--data", required=True)
     p.add_argument("--output-dir", default="renders")
@@ -65,6 +70,40 @@ def _orbit_cameras(camera, n_frames, spiral=False):
                        camera.width, camera.height)
 
 
+def _load_camera_path(path, ref_camera, scene):
+    """nerfstudio camera_path.json -> batched Camera (the reference's
+    camera-path rendering mode, scripts/render_video.py:490)."""
+    import json
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    from fusionsense_tpu.core.cameras import make_camera
+
+    with open(path) as f:
+        meta = json.load(f)
+    frames = meta.get("camera_path", meta.get("keyframes", []))
+    mats, fovs = [], []
+    for fr in frames:
+        c2w = np.asarray(fr["camera_to_world"], np.float64).reshape(4, 4)
+        # camera paths are in the raw capture frame (OpenGL): normalize +
+        # convert like the dataparser
+        c2w[:3, 3] = (c2w[:3, 3] + scene.translate) * scene.scale
+        c2w = c2w @ np.diag([1.0, -1.0, -1.0, 1.0])
+        mats.append(np.linalg.inv(c2w))
+        fovs.append(float(fr.get("fov", 60.0)))
+    n = len(mats)
+    H = ref_camera.height
+    import math
+
+    fy = np.array([0.5 * H / math.tan(math.radians(f) / 2) for f in fovs],
+                  np.float32)
+    ones = jnp.ones((n,))
+    return make_camera(np.stack(mats).astype(np.float32), fy, fy,
+                       ref_camera.width / 2 * ones, H / 2 * ones,
+                       ref_camera.width, H)
+
+
 def main(argv=None):
     args = build_parser().parse_args(argv)
 
@@ -81,7 +120,9 @@ def main(argv=None):
     dcfg = DataParserConfig(data_dir=args.data)
     scene = parse_transforms(dcfg)
     camera, _ = load_train_data(scene, dcfg, args.split)
-    if args.mode != "dataset":
+    if args.mode == "camera-path":
+        camera = _load_camera_path(args.camera_path, camera, scene)
+    elif args.mode != "dataset":
         camera = _orbit_cameras(camera, args.n_frames,
                                 spiral=args.mode == "spiral")
     n = camera.viewmat.shape[0]

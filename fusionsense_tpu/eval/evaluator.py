@@ -49,6 +49,9 @@ def evaluate(
     render = make_render_fn(cfg, camera, binary_opacities)
     V = data.images.shape[0]
 
+    from fusionsense_tpu.eval import lpips as _lpips
+
+    use_lpips = _lpips.available()
     per_view = []
     outs = []
     for i in range(V):
@@ -56,6 +59,9 @@ def evaluate(
         outs.append(out)
         m = M.rgb_metrics(out.rgb, data.images[i],
                           None if data.masks is None else data.masks[i])
+        if use_lpips:
+            m["lpips"] = _lpips.lpips(np.asarray(out.rgb),
+                                      np.asarray(data.images[i]))
         if data.sensor_depths is not None:
             m.update({f"depth_{k}": v for k, v in
                       M.depth_metrics(out.depth, data.sensor_depths[i]).items()})

@@ -87,6 +87,7 @@ def extract(
 
     elif method == "dn":
         from fusionsense_tpu.core.cameras import backproject_depth
+        from fusionsense_tpu.mesh.postprocess import find_depth_edges
 
         depths, normals, alphas = _render_depths(gaussians, camera,
                                                  rasterize_cfg, V)
@@ -94,8 +95,9 @@ def extract(
         for i in range(V):
             cam_i = camera.index(i)
             p = np.asarray(backproject_depth(jnp.asarray(depths[i]), cam_i))
+            edge = find_depth_edges(depths[i]).reshape(-1)
             keep = (depths[i].reshape(-1) > 1e-4) & (
-                alphas[i].reshape(-1) > 0.5)
+                alphas[i].reshape(-1) > 0.5) & ~edge
             pts.append(p[keep])
             n = normals[i].reshape(-1, 3)[keep]
             nrms.append(n / np.maximum(
@@ -164,4 +166,13 @@ def extract(
     path = out_dir / f"mesh_{method}.ply"
     write_ply(path, verts, faces=faces,
               normals=vertex_normals(verts, faces) if len(verts) else None)
+    # smoothed variants, like the reference's smoothed_1/2_* Poisson outputs
+    if len(verts) and method in ("sugar-coarse", "dn", "gaussians"):
+        from fusionsense_tpu.mesh.postprocess import laplacian_smooth
+
+        sm = verts
+        for k in (1, 2):
+            sm = laplacian_smooth(sm, faces, iterations=1)
+            write_ply(out_dir / f"smoothed_{k}_mesh_{method}.ply", sm,
+                      faces=faces)
     return verts, faces, path

@@ -97,14 +97,12 @@ def bin_gaussians(
                     jnp.int32((num_tiles << depth_bits)))
     flat_key = key.reshape(-1)                       # (N*C,)
 
-    # ---- one sort orders pairs by (tile, depth) ---------------------------
-    pair_order = jnp.argsort(flat_key)
-    sorted_key = flat_key[pair_order]
+    # ---- one fused sort orders pairs by (tile, depth) ---------------------
+    # sort_key_val carries the gaussian id along with the key — cheaper than
+    # argsort + two 1M-element gathers
+    gauss_ids = jax.lax.broadcasted_iota(jnp.int32, (N, C), 0).reshape(-1)
+    sorted_key, sorted_gauss = jax.lax.sort_key_val(flat_key, gauss_ids)
     sorted_tile = sorted_key >> depth_bits
-    # pair i belongs to gaussian i // C; win*win is a power of two when win
-    # is, but use a shift-free exact division via multiply trick: i // C for
-    # static C compiles to a cheap constant-division
-    sorted_gauss = (pair_order // C).astype(jnp.int32)
 
     # ---- per-tile segments -------------------------------------------------
     starts = jnp.searchsorted(sorted_tile, jnp.arange(num_tiles, dtype=jnp.int32))

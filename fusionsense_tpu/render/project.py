@@ -18,7 +18,6 @@ import jax
 import jax.numpy as jnp
 
 from fusionsense_tpu.core.cameras import Camera
-from fusionsense_tpu.core.transforms import quat_to_rotmat
 
 
 class Projected(NamedTuple):
@@ -55,10 +54,33 @@ def project_gaussians(
     in_depth = (tz > near) & (tz < far)
     tz_safe = jnp.where(jnp.abs(tz) < 1e-6, 1e-6, tz)
 
-    # 3D covariance in camera frame: M = R_cam R_g S; cov_cam = M M^T
-    Rg = quat_to_rotmat(quats)                               # (N, 3, 3)
-    M = (R @ Rg) * scales[:, None, :]                        # (N, 3, 3)
-    cov_cam = M @ jnp.swapaxes(M, -1, -2)
+    # 3D covariance in camera frame, fully scalar-expanded: batched (N,3,3)
+    # matmuls lay out poorly on the VPU; as 9 flat N-vectors M = R_cam @ R_g
+    # and the 6 unique entries of M S^2 M^T are a handful of fused FMAs.
+    qn = quats / (jnp.linalg.norm(quats, axis=-1, keepdims=True) + 1e-12)
+    w, x, y, z = qn[:, 0], qn[:, 1], qn[:, 2], qn[:, 3]
+    g00 = 1 - 2 * (y * y + z * z)
+    g01 = 2 * (x * y - w * z)
+    g02 = 2 * (x * z + w * y)
+    g10 = 2 * (x * y + w * z)
+    g11 = 1 - 2 * (x * x + z * z)
+    g12 = 2 * (y * z - w * x)
+    g20 = 2 * (x * z - w * y)
+    g21 = 2 * (y * z + w * x)
+    g22 = 1 - 2 * (x * x + y * y)
+    # M = R_cam (constants) @ R_g
+    m = [[R[i, 0] * g0 + R[i, 1] * g1 + R[i, 2] * g2
+          for (g0, g1, g2) in ((g00, g10, g20), (g01, g11, g21),
+                               (g02, g12, g22))] for i in range(3)]
+    s2 = scales * scales
+    s0, s1, s2_ = s2[:, 0], s2[:, 1], s2[:, 2]
+
+    def cov(i, j):
+        return (m[i][0] * s0 * m[j][0] + m[i][1] * s1 * m[j][1]
+                + m[i][2] * s2_ * m[j][2])
+
+    c00, c01, c02 = cov(0, 0), cov(0, 1), cov(0, 2)
+    c11, c12, c22 = cov(1, 1), cov(1, 2), cov(2, 2)
 
     # perspective Jacobian (2x3) with gsplat-style frustum clamping of tx/tz
     fx, fy = camera.fx, camera.fy
@@ -75,11 +97,10 @@ def project_gaussians(
     j12 = -fy * tyz * inv_z
 
     # cov2d = J cov_cam J^T, expanded to avoid (N,2,3)x(N,3,3) intermediates
-    c = cov_cam
-    v00 = (j00 * j00 * c[:, 0, 0] + 2 * j00 * j02 * c[:, 0, 2] + j02 * j02 * c[:, 2, 2])
-    v11 = (j11 * j11 * c[:, 1, 1] + 2 * j11 * j12 * c[:, 1, 2] + j12 * j12 * c[:, 2, 2])
-    v01 = (j00 * j11 * c[:, 0, 1] + j00 * j12 * c[:, 0, 2]
-           + j02 * j11 * c[:, 1, 2] + j02 * j12 * c[:, 2, 2])
+    v00 = (j00 * j00 * c00 + 2 * j00 * j02 * c02 + j02 * j02 * c22)
+    v11 = (j11 * j11 * c11 + 2 * j11 * j12 * c12 + j12 * j12 * c22)
+    v01 = (j00 * j11 * c01 + j00 * j12 * c02
+           + j02 * j11 * c12 + j02 * j12 * c22)
 
     det_orig = v00 * v11 - v01 * v01
     v00 = v00 + eps2d

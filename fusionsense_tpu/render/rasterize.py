@@ -89,7 +89,10 @@ def rasterize(
     *,
     normals: Optional[jax.Array] = None,   # (N, 3); default: min-scale axis
     background: Optional[jax.Array] = None,  # (3,)
-    mean2d_tap: Optional[jax.Array] = None,  # (N, 2) zeros; grad tap
+    mean2d_tap: Optional[jax.Array] = None,  # (N, 2) zeros; signed grad tap
+    absgrad_tap: Optional[jax.Array] = None,  # (N, 2) zeros; |grad| tap
+    #   (pallas backend only: its custom-vjp gradient accumulates the
+    #   per-tile ABSOLUTE screen-position gradients — gsplat's absgrad)
 ) -> RenderOutputs:
     N = means.shape[0]
     grid = TileGrid(width=camera.width, height=camera.height, tile_size=cfg.tile_size)
@@ -154,7 +157,7 @@ def rasterize(
     tile_chan = jnp.where(bins.mask[..., None], channels[idx], 0.0)  # (T, K, 7)
 
     if cfg.backend == "pallas":
-        from fusionsense_tpu.render.pallas_composite import pallas_composite
+        from fusionsense_tpu.render.pallas_composite2 import pallas_composite2
 
         nchan = tile_chan.shape[-1]
         pad_c = (-nchan) % 8
@@ -164,9 +167,22 @@ def rasterize(
         else:
             tile_chan_p = tile_chan
         counts = jnp.sum(bins.mask, axis=-1).astype(jnp.int32)
-        out_tiled, alpha_tiled = pallas_composite(
-            tile_coeff, tile_chan_p, counts, grid.tiles_x, cfg.tile_size,
-            cfg.pallas_chunk)
+        # per-gaussian payload [mx, my, ca, cb, cc, log_op, 0, 0]
+        log_op = jnp.where(proj.valid,
+                           jnp.log(jnp.maximum(op, 1e-12)), -1e10)
+        zeros_n = jnp.zeros_like(log_op)
+        pack_n = jnp.stack(
+            [mean2d[:, 0], mean2d[:, 1], proj.conic[:, 0], proj.conic[:, 1],
+             proj.conic[:, 2], log_op, zeros_n, zeros_n], axis=-1)
+        tile_pack = jnp.where(
+            bins.mask[..., None], pack_n[idx],
+            jnp.zeros_like(pack_n[idx]).at[..., 5].set(-1e10))
+        if absgrad_tap is None:
+            absgrad_tap = jnp.zeros((N, 2))
+        tile_abs_tap = absgrad_tap[idx] * bins.mask[..., None]
+        out_tiled, alpha_tiled = pallas_composite2(
+            tile_pack, tile_chan_p, counts, tile_abs_tap,
+            grid.tiles_x, cfg.tile_size, cfg.pallas_chunk)
         out_tiled = out_tiled[..., :nchan]
     else:
         feats = pixel_features(grid)

@@ -67,6 +67,7 @@ def compute_losses(
     cfg: ExperimentConfig,
     tap: jax.Array,
     cam_delta: Optional[jax.Array] = None,   # (6,) SE3 pose correction
+    absgrad_tap: Optional[jax.Array] = None,
 ):
     """Forward + composite DN-Splatter loss for one camera."""
     mc, lc = cfg.model, cfg.loss
@@ -89,6 +90,7 @@ def compute_losses(
         normals=normals_g,
         background=jnp.asarray(mc.background, jnp.float32),
         mean2d_tap=tap,
+        absgrad_tap=absgrad_tap,
     )
 
     image_gt = data.images[cam_idx]
@@ -184,17 +186,23 @@ def make_train_chunk(cfg: ExperimentConfig, camera: Camera, data: TrainData,
         gaussians, opt, cam_state, stats, step = carry
         cam_deltas, cam_m, cam_v, cam_acc = cam_state
 
-        def loss_fn(params, tap, deltas):
+        use_absgrad = cfg.model.rasterize.backend == "pallas"
+
+        def loss_fn(params, tap, deltas, abs_tap):
             g = gaussians.replace(**params)
             delta = deltas[cam_idx] if use_cam_opt else None
             return compute_losses(g, camera, data, cam_idx, step, cfg, tap,
-                                  cam_delta=delta)
+                                  cam_delta=delta, absgrad_tap=abs_tap)
 
         tap0 = jnp.zeros((gaussians.capacity, 2))
         (loss, (parts, aux)), grads = jax.value_and_grad(
-            loss_fn, argnums=(0, 1, 2), has_aux=True
-        )(gaussians.params(), tap0, cam_deltas)
-        param_grads, tap_grad, delta_grads = grads
+            loss_fn, argnums=(0, 1, 2, 3), has_aux=True
+        )(gaussians.params(), tap0, cam_deltas, tap0)
+        param_grads, tap_grad, delta_grads, abs_grad = grads
+        if use_absgrad:
+            # gsplat-style absgrad drives densification (sum over tiles of
+            # |per-tile position gradient|, via the pallas backward)
+            tap_grad = abs_grad
 
         params, opt2 = adam_step(gaussians.params(), param_grads, opt, step,
                                  gaussians.alive, groups=adam_groups)
@@ -321,14 +329,15 @@ class Trainer:
 
             if self.step % cfg.train.log_every == 0 or self.step >= total:
                 # ONE device->host transfer for all logged scalars
-                loss_h, psnr_h, n_alive = jax.device_get(
+                loss_h, psnr_h, ovf_h, n_alive = jax.device_get(
                     (metrics["loss"][-1], metrics["psnr"][-1],
-                     self.gaussians.num_alive))
+                     metrics["overflow"][-1], self.gaussians.num_alive))
                 rec = {
                     "step": self.step,
                     "loss": float(loss_h),
                     "psnr": float(psnr_h),
                     "num_gaussians": int(n_alive),
+                    "tile_overflow": int(ovf_h),
                     "capacity": self.gaussians.capacity,
                     "elapsed_s": time.time() - t0,
                 }

@@ -1,0 +1,56 @@
+import numpy as np
+
+
+def test_profiling_registry():
+    from fusionsense_tpu.utils import profiling as P
+
+    with P.timer("unit_test_phase"):
+        sum(range(1000))
+    rep = P.report(reset=True)
+    assert "unit_test_phase" in rep
+    assert rep["unit_test_phase"]["calls"] == 1
+
+
+def test_presets_shapes():
+    from fusionsense_tpu.presets import PRESETS
+
+    for name, fn in PRESETS.items():
+        cfg = fn()
+        assert cfg.train.iterations > 0
+        assert cfg.model.rasterize.tile_size == 16
+    assert PRESETS["splatfacto"]().loss.normal_lambda == 0.0
+    assert PRESETS["fusionsense"]().loss.touch_normal_lambda == 1.0
+    assert PRESETS["dn-splatter-big"]().model.capacity == 2 ** 20
+
+
+def test_generate_priors_from_sensor_depth(tmp_path):
+    from fusionsense_tpu.data.fixture import write_synthetic_scene
+    from fusionsense_tpu.priors.mono_priors import generate_priors
+
+    d = write_synthetic_scene(tmp_path / "scene", n_views=2, width=48,
+                              height=36)
+    meta = generate_priors(d)
+    fr = meta["frames"][0]
+    assert "mono_depth_file_path" in fr
+    assert "normal_file_path" in fr
+    dep = np.load(d / fr["mono_depth_file_path"])
+    assert dep.shape == (36, 48)
+    nrm = np.load(d / fr["normal_file_path"])
+    assert nrm.shape == (36, 48, 3)
+    # unit normals on valid depth
+    valid = dep > 0.01
+    lens = np.linalg.norm(nrm[valid], axis=-1)
+    np.testing.assert_allclose(lens, 1.0, atol=1e-3)
+
+
+def test_batch_runner(tmp_path):
+    from fusionsense_tpu.data.fixture import write_synthetic_scene
+    from fusionsense_tpu.eval.batch import BatchJob, run_batch
+
+    d = write_synthetic_scene(tmp_path / "scene", n_views=3, width=48,
+                              height=36, n_gt=300)
+    jobs = [BatchJob(data_dir=str(d), preset="splatfacto", iterations=10)]
+    res = run_batch(jobs, output_dir=str(tmp_path / "out"), log=None)
+    assert len(res) == 1
+    assert res[0]["status"] == "ok", res[0]
+    assert (tmp_path / "out" / "summary.json").exists()

@@ -73,3 +73,23 @@ def test_pallas_saturated_early_exit_correct():
     out_p = rasterize(means, quats, scales, opac, colors, cam, CFG_P)
     np.testing.assert_allclose(out_p.rgb, out_j.rgb, atol=1e-3)
     np.testing.assert_allclose(out_p.alpha, out_j.alpha, atol=1e-3)
+
+
+def test_pallas_absgrad_tap():
+    """absgrad >= |signed grad| per gaussian, and strictly positive where
+    per-tile contributions cancel in the signed sum."""
+    cam = make_camera(jnp.eye(4), 80.0, 80.0, 16.0, 16.0, 32, 32)
+    sc = scene(jax.random.PRNGKey(3), n=12)
+    target = jnp.full((32, 32, 3), 0.2)
+    n = 12
+
+    def loss(tap, abstap):
+        out = rasterize(*sc, cam, CFG_P, mean2d_tap=tap, absgrad_tap=abstap)
+        return jnp.mean((out.rgb - target) ** 2)
+
+    g_signed, g_abs = jax.grad(loss, argnums=(0, 1))(
+        jnp.zeros((n, 2)), jnp.zeros((n, 2)))
+    assert jnp.all(jnp.isfinite(g_abs))
+    assert float(g_abs.sum()) > 0
+    # abs accumulation dominates the signed sum elementwise
+    assert jnp.all(g_abs >= jnp.abs(g_signed) - 1e-6)
