@@ -37,14 +37,28 @@ def gaussian_window(size: int = 11, sigma: float = 1.5) -> jax.Array:
 
 
 def _filter2d(img: jax.Array, kernel: jax.Array) -> jax.Array:
-    """Depthwise 2D conv, VALID padding. img (H, W, C), kernel (k, k)."""
+    """Depthwise separable Gaussian conv, VALID padding.
+
+    img (H, W, C), kernel (k, k) assumed separable (outer product of a 1D
+    window — true for the SSIM Gaussian): two 1D passes cost 2k taps
+    instead of k^2."""
     C = img.shape[-1]
-    k = kernel[:, :, None, None]                       # (k, k, 1, 1)
-    k = jnp.tile(k, (1, 1, 1, C))                      # depthwise
-    out = jax.lax.conv_general_dilated(
-        img[None], k, window_strides=(1, 1), padding="VALID",
-        dimension_numbers=("NHWC", "HWIO", "NHWC"), feature_group_count=C,
-    )
+    k1 = kernel[:, 0]
+    k1 = k1 / jnp.sum(k1)
+
+    def dw(x, kern, axis):
+        shape = [1, 1, 1, 1]
+        shape[axis] = kern.shape[0]
+        kk = jnp.tile(kern.reshape(shape[:2] + [1, 1]) if axis == 0
+                      else kern.reshape([1, kern.shape[0], 1, 1]),
+                      (1, 1, 1, C))
+        return jax.lax.conv_general_dilated(
+            x, kk, window_strides=(1, 1), padding="VALID",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            feature_group_count=C)
+
+    out = dw(img[None], k1, 0)
+    out = dw(out, k1, 1)
     return out[0]
 
 

@@ -261,6 +261,7 @@ class Trainer:
         self.step = 0
         self.key = jax.random.PRNGKey(cfg.train.seed)
         self.extra_callbacks = extra_callbacks or []
+        self.checkpoint_dir = None   # set to a path to enable periodic saves
         self.max_capacity = gaussians.capacity
         self.auto_capacity = cfg.train.auto_capacity
         nv = data.images.shape[0]
@@ -326,6 +327,14 @@ class Trainer:
                 )
             for cb in self.extra_callbacks:
                 cb(self)
+
+            if (self.checkpoint_dir is not None
+                    and self.step % cfg.train.steps_per_save == 0):
+                from fusionsense_tpu.train.checkpoint import save_checkpoint
+
+                save_checkpoint(
+                    f"{self.checkpoint_dir}/ckpt_{self.step}",
+                    self.gaussians, self.opt, self.stats, self.step)
 
             if self.step % cfg.train.log_every == 0 or self.step >= total:
                 # ONE device->host transfer for all logged scalars

@@ -29,3 +29,23 @@ def test_checkpoint_roundtrip(tmp_path):
     np.testing.assert_allclose(np.asarray(opt2.m["means"]), 1.0)
     assert int(np.asarray(stats2.count)[1]) == 7
     assert (tmp_path / "ckpt_100.meta.json").exists()
+
+
+def test_splat_ply_roundtrip(tmp_path):
+    import jax
+
+    from fusionsense_tpu.gaussians.io import export_splat_ply, import_splat_ply
+
+    pts = jax.random.normal(jax.random.PRNGKey(0), (30, 3))
+    g = init_from_points(pts, jnp.full((30, 3), 0.6), capacity=64, sh_degree=2)
+    n = export_splat_ply(tmp_path / "splat.ply", g)
+    assert n == 30
+    g2 = import_splat_ply(tmp_path / "splat.ply")
+    assert int(g2.num_alive) == 30
+    a1, a2 = np.asarray(g.alive), np.asarray(g2.alive)
+    np.testing.assert_allclose(np.asarray(g2.means)[a2],
+                               np.asarray(g.means)[a1], atol=1e-6)
+    np.testing.assert_allclose(np.asarray(g2.features_rest)[a2],
+                               np.asarray(g.features_rest)[a1], atol=1e-6)
+    np.testing.assert_allclose(np.asarray(g2.log_scales)[a2],
+                               np.asarray(g.log_scales)[a1], atol=1e-6)
