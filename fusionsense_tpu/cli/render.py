@@ -70,6 +70,43 @@ def _orbit_cameras(camera, n_frames, spiral=False):
                        camera.width, camera.height)
 
 
+def _interpolate_cameras(camera, n_frames):
+    """Slerp/linear interpolation through the dataset poses in order
+    (the reference's RenderInterpolated, scripts/render_video.py:639)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from fusionsense_tpu.core.cameras import make_camera
+    from fusionsense_tpu.core.transforms import (
+        quat_to_rotmat, rotmat_to_quat,
+    )
+
+    c2w = np.linalg.inv(np.asarray(camera.viewmat))
+    n_key = c2w.shape[0]
+    quats = np.asarray(rotmat_to_quat(jnp.asarray(c2w[:, :3, :3])))
+    trans = c2w[:, :3, 3]
+    mats = []
+    for i in range(n_frames):
+        t = i * (n_key - 1) / max(n_frames - 1, 1)
+        k = min(int(t), n_key - 2)
+        f = t - k
+        q0, q1 = quats[k], quats[k + 1]
+        if np.dot(q0, q1) < 0:
+            q1 = -q1
+        q = (1 - f) * q0 + f * q1           # nlerp (fine for close keyframes)
+        q = q / np.linalg.norm(q)
+        R = np.asarray(quat_to_rotmat(jnp.asarray(q)))
+        m = np.eye(4)
+        m[:3, :3] = R
+        m[:3, 3] = (1 - f) * trans[k] + f * trans[k + 1]
+        mats.append(np.linalg.inv(m))
+    fx = float(np.asarray(camera.fx).mean())
+    ones = jnp.ones((n_frames,))
+    return make_camera(np.stack(mats).astype(np.float32), fx * ones,
+                       fx * ones, camera.width / 2 * ones,
+                       camera.height / 2 * ones, camera.width, camera.height)
+
+
 def _load_camera_path(path, ref_camera, scene):
     """nerfstudio camera_path.json -> batched Camera (the reference's
     camera-path rendering mode, scripts/render_video.py:490)."""
@@ -122,9 +159,10 @@ def main(argv=None):
     camera, _ = load_train_data(scene, dcfg, args.split)
     if args.mode == "camera-path":
         camera = _load_camera_path(args.camera_path, camera, scene)
-    elif args.mode != "dataset":
-        camera = _orbit_cameras(camera, args.n_frames,
-                                spiral=args.mode == "spiral")
+    elif args.mode == "interpolate":
+        camera = _interpolate_cameras(camera, args.n_frames)
+    elif args.mode == "spiral":
+        camera = _orbit_cameras(camera, args.n_frames, spiral=True)
     n = camera.viewmat.shape[0]
 
     out = Path(args.output_dir)

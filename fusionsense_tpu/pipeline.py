@@ -162,6 +162,8 @@ class ReconstructionPipeline:
 
         self.trainer = Trainer(ec, self.camera, self.data, gaussians,
                                scene_scale=1.0, extra_callbacks=callbacks)
+        self.trainer.checkpoint_dir = str(self.out)
+        self.trainer.image_log_dir = str(self.out / "log_images")
         hist = self.trainer.run(log=log)
         save_checkpoint(self.out / f"ckpt_{self.trainer.step}",
                         self.trainer.gaussians, self.trainer.opt,

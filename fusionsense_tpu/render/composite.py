@@ -21,6 +21,7 @@ jax.checkpoint to bound the live (tiles, pixels, capacity) alpha tensor.
 from __future__ import annotations
 
 import functools
+import math
 from typing import NamedTuple
 
 import jax
@@ -28,7 +29,7 @@ import jax.numpy as jnp
 
 ALPHA_MAX = 0.999
 ALPHA_MIN = 1.0 / 255.0
-LOG_ALPHA_MAX = float(jnp.log(ALPHA_MAX))
+LOG_ALPHA_MAX = math.log(ALPHA_MAX)
 
 
 class TileGrid(NamedTuple):

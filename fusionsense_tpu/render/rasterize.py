@@ -119,7 +119,6 @@ def rasterize(
         mean2d = mean2d + mean2d_tap
 
     op = opacities * (proj.compensation if cfg.antialiased else 1.0)
-    coeff = alpha_coefficients(mean2d, proj.conic, op, proj.valid)
 
     # view-dependent color
     cam_origin = camera.origin
@@ -146,14 +145,8 @@ def rasterize(
         max_tiles_per_gaussian=cfg.max_tiles_per_gaussian,
     )
 
-    # gather per-tile data; empty slots (-1) -> index 0 but coeff forced dead
+    # gather per-tile data; empty slots (-1) -> index 0 but payload forced dead
     idx = jnp.maximum(bins.indices, 0)
-    tile_coeff = coeff[idx]                                   # (T, K, 6)
-    tile_coeff = jnp.where(
-        bins.mask[..., None],
-        tile_coeff,
-        jnp.zeros_like(tile_coeff).at[..., 5].set(-1e10),
-    )
     tile_chan = jnp.where(bins.mask[..., None], channels[idx], 0.0)  # (T, K, 7)
 
     if cfg.backend == "pallas":
@@ -185,6 +178,11 @@ def rasterize(
             grid.tiles_x, cfg.tile_size, cfg.pallas_chunk)
         out_tiled = out_tiled[..., :nchan]
     else:
+        coeff = alpha_coefficients(mean2d, proj.conic, op, proj.valid)
+        tile_coeff = jnp.where(
+            bins.mask[..., None], coeff[idx],
+            jnp.zeros_like(coeff[idx]).at[..., 5].set(-1e10),
+        )
         feats = pixel_features(grid)
         out_tiled, alpha_tiled = composite_tiles(
             feats, tile_coeff, tile_chan, tile_chunk=cfg.tile_chunk

@@ -262,6 +262,8 @@ class Trainer:
         self.key = jax.random.PRNGKey(cfg.train.seed)
         self.extra_callbacks = extra_callbacks or []
         self.checkpoint_dir = None   # set to a path to enable periodic saves
+        self.image_log_dir = None    # set to a path to dump GT/pred grids
+        self._debug_render = None
         self.max_capacity = gaussians.capacity
         self.auto_capacity = cfg.train.auto_capacity
         nv = data.images.shape[0]
@@ -328,6 +330,10 @@ class Trainer:
             for cb in self.extra_callbacks:
                 cb(self)
 
+            if (self.image_log_dir is not None
+                    and self.step % cfg.train.log_every == 0):
+                self._dump_debug_grid()
+
             if (self.checkpoint_dir is not None
                     and self.step % cfg.train.steps_per_save == 0):
                 from fusionsense_tpu.train.checkpoint import save_checkpoint
@@ -364,3 +370,30 @@ class Trainer:
                     log(f"step {rec['step']:6d}  loss {rec['loss']:.4f}  "
                         f"psnr {rec['psnr']:.2f}  n {rec['num_gaussians']}")
         return self.history
+
+    def _dump_debug_grid(self):
+        """GT | rgb | depth | normal strip for the current camera — the
+        analog of the reference's log_images dumps (dn_model.py:908-923)."""
+        import numpy as np
+        from pathlib import Path
+        from PIL import Image
+
+        if self._debug_render is None:
+            from fusionsense_tpu.eval.evaluator import make_render_fn
+
+            self._debug_render = make_render_fn(
+                self.cfg.model.rasterize, self.camera,
+                self.cfg.model.binary_opacities)
+        i = self.step % self.num_views
+        out = self._debug_render(self.gaussians, np.int32(i))
+        gt = np.asarray(self.data.images[i])
+        rgb = np.clip(np.asarray(out.rgb), 0, 1)
+        d = np.asarray(out.depth)
+        d = (d - d.min()) / max(d.max() - d.min(), 1e-8)
+        depth = np.stack([d] * 3, -1)
+        normal = np.asarray(out.normal) * 0.5 + 0.5
+        grid = np.concatenate([gt, rgb, depth, np.clip(normal, 0, 1)], axis=1)
+        path = Path(self.image_log_dir)
+        path.mkdir(parents=True, exist_ok=True)
+        Image.fromarray((grid * 255).astype(np.uint8)).save(
+            path / f"step_{self.step:06d}.png")

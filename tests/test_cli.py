@@ -1,0 +1,68 @@
+"""Drive the installed CLI surface end-to-end on a tiny fixture scene."""
+import json
+
+import numpy as np
+import pytest
+
+from fusionsense_tpu.data.fixture import write_synthetic_scene
+
+
+@pytest.fixture(scope="module")
+def scene_dir(tmp_path_factory):
+    return write_synthetic_scene(tmp_path_factory.mktemp("cli_scene"),
+                                 n_views=4, width=64, height=48, n_gt=400)
+
+
+def test_fs_train_cli(scene_dir, tmp_path):
+    from fusionsense_tpu.cli.train import main
+
+    out = tmp_path / "out"
+    pipe = main([
+        "--data", str(scene_dir), "--output-dir", str(out),
+        "--experiment-name", "t", "--iterations", "60",
+        "--stop-split-at", "40", "--warmup-length", "20",
+        "--capacity", "1024", "--sh-degree", "1", "--scan-chunk", "20",
+        "--tile-capacity", "64", "--mesh", "tsdf", "--downscale-factor", "1",
+    ])
+    ckpt = out / "t" / "ckpt_60"
+    assert ckpt.exists()
+    assert (out / "t" / "mesh_tsdf.ply").exists()
+    assert (out / "t" / "metrics.json").exists()
+    with open(out / "t" / "metrics.json") as f:
+        res = json.load(f)
+    assert np.isfinite(res["mean"]["psnr"])
+
+
+def test_fs_mesh_and_eval_and_render_cli(scene_dir, tmp_path):
+    from fusionsense_tpu.cli.train import main as train_main
+
+    out = tmp_path / "out2"
+    train_main([
+        "--data", str(scene_dir), "--output-dir", str(out),
+        "--experiment-name", "t", "--iterations", "40",
+        "--stop-split-at", "30", "--warmup-length", "20",
+        "--capacity", "1024", "--sh-degree", "1", "--scan-chunk", "20",
+        "--tile-capacity", "64", "--mesh", "--skip-eval",
+    ])
+    ckpt = str(out / "t" / "ckpt_40")
+
+    from fusionsense_tpu.cli.mesh import main as mesh_main
+
+    mesh_main(["gaussians", "--checkpoint", ckpt, "--data", str(scene_dir),
+               "--output-dir", str(tmp_path / "m"), "--resolution", "64",
+               "--tile-capacity", "64"])
+    assert (tmp_path / "m" / "mesh_gaussians.ply").exists()
+
+    from fusionsense_tpu.cli.eval import main as eval_main
+
+    eval_main(["--checkpoint", ckpt, "--data", str(scene_dir),
+               "--split", "test",
+               "--output-path", str(tmp_path / "metrics.json")])
+    assert (tmp_path / "metrics.json").exists()
+
+    from fusionsense_tpu.cli.render import main as render_main
+
+    render_main(["dataset", "--checkpoint", ckpt, "--data", str(scene_dir),
+                 "--output-dir", str(tmp_path / "r")])
+    assert (tmp_path / "r" / "rgb" / "00000.png").exists()
+    assert (tmp_path / "r" / "normal" / "00000.png").exists()
