@@ -1,0 +1,269 @@
+"""Baseline NeRF family: hash-grid radiance field with depth/normal
+regularization.
+
+The reference ships three regularized-NeRF baselines for paper comparisons
+(reference dn_splatter/eval/baseline_models/: g-nerfacto, g-depthnerfacto,
+g-neusfacto, ~900 LoC of nerfstudio plugins). This is one configurable
+TPU-native model covering that family:
+
+- multiresolution hash encoding (instant-NGP style) as pure JAX gathers,
+- small density + color MLPs (plain pytree params, no framework),
+- stratified ray sampling + volume rendering (RGB, expected depth,
+  density-gradient normals),
+- loss flags select the variant: rgb-only (nerfacto), +depth
+  (depthnerfacto), +normal-from-gradient supervision (neusfacto-style).
+
+Rays batch across pixels, so every step is one big MXU-friendly batch; the
+whole train step jits and scans like the splat trainer.
+"""
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from fusionsense_tpu.core.cameras import Camera
+
+_PRIMES = jnp.array([1, 2654435761, 805459861], dtype=jnp.uint32)
+
+
+@dataclasses.dataclass(frozen=True)
+class NerfConfig:
+    n_levels: int = 12
+    table_size_log2: int = 17
+    features_per_level: int = 2
+    base_res: int = 16
+    max_res: int = 512
+    mlp_width: int = 64
+    n_samples: int = 64
+    near: float = 0.2
+    far: float = 4.0
+    scene_bound: float = 1.0       # hash grid covers [-bound, bound]^3
+    rgb_lambda: float = 1.0
+    depth_lambda: float = 0.0      # >0 -> depthnerfacto
+    normal_lambda: float = 0.0     # >0 -> neusfacto-style
+    lr: float = 5e-3
+    rays_per_step: int = 4096
+
+
+def init_params(key: jax.Array, cfg: NerfConfig) -> dict:
+    ks = jax.random.split(key, 8)
+    T = 1 << cfg.table_size_log2
+    F = cfg.features_per_level
+    enc_dim = cfg.n_levels * F
+    w = cfg.mlp_width
+
+    def dense(k, i, o):
+        return {"w": jax.random.normal(k, (i, o)) * jnp.sqrt(2.0 / i),
+                "b": jnp.zeros((o,))}
+
+    return {
+        "table": jax.random.uniform(ks[0], (cfg.n_levels, T, F),
+                                    minval=-1e-4, maxval=1e-4),
+        "d1": dense(ks[1], enc_dim, w),
+        "d2": dense(ks[2], w, w),
+        "density_head": dense(ks[3], w, 1 + 15),   # density + geo features
+        "c1": dense(ks[4], 15 + 3, w),
+        "c2": dense(ks[5], w, 3),
+    }
+
+
+def _hash_encode(points: jax.Array, table: jax.Array, cfg: NerfConfig):
+    """(R, 3) in [-bound, bound] -> (R, n_levels * F) trilinear hash feats."""
+    L, T, F = table.shape
+    x = (points / cfg.scene_bound + 1.0) * 0.5          # [0, 1]
+    growth = (cfg.max_res / cfg.base_res) ** (1.0 / max(L - 1, 1))
+    feats = []
+    for lvl in range(L):
+        res = cfg.base_res * growth ** lvl
+        xs = x * res
+        x0 = jnp.floor(xs)
+        f = xs - x0
+        acc = 0.0
+        for dz in (0, 1):
+            for dy in (0, 1):
+                for dx in (0, 1):
+                    corner = (x0 + jnp.array([dx, dy, dz])).astype(jnp.uint32)
+                    h = (corner * _PRIMES[None, :]).astype(jnp.uint32)
+                    idx = (h[:, 0] ^ h[:, 1] ^ h[:, 2]) % jnp.uint32(T)
+                    wgt = (jnp.abs(1 - dx - f[:, 0])
+                           * jnp.abs(1 - dy - f[:, 1])
+                           * jnp.abs(1 - dz - f[:, 2]))
+                    acc = acc + wgt[:, None] * table[lvl, idx.astype(jnp.int32)]
+        feats.append(acc)
+    return jnp.concatenate(feats, axis=-1)
+
+
+def _mlp(params, name, x, act=jax.nn.relu):
+    p = params[name]
+    y = x @ p["w"] + p["b"]
+    return act(y) if act is not None else y
+
+
+def density_and_features(params, points, cfg: NerfConfig):
+    enc = _hash_encode(points, params["table"], cfg)
+    h = _mlp(params, "d1", enc)
+    h = _mlp(params, "d2", h)
+    out = _mlp(params, "density_head", h, act=None)
+    density = jax.nn.softplus(out[:, 0] - 1.0)
+    return density, out[:, 1:]
+
+
+def color(params, geo_feats, dirs):
+    h = _mlp(params, "c1", jnp.concatenate([geo_feats, dirs], -1))
+    return jax.nn.sigmoid(_mlp(params, "c2", h, act=None))
+
+
+def render_rays(params, origins, dirs, key, cfg: NerfConfig,
+                with_normals: bool = False):
+    """(R, 3) origins/dirs -> dict(rgb (R,3), depth (R,), acc (R,),
+    normal (R,3) optional). Stratified sampling + volume rendering."""
+    R = origins.shape[0]
+    S = cfg.n_samples
+    t = jnp.linspace(cfg.near, cfg.far, S + 1)
+    lo, hi = t[:-1], t[1:]
+    u = jax.random.uniform(key, (R, S))
+    ts = lo[None, :] + (hi - lo)[None, :] * u                  # (R, S)
+    pts = origins[:, None, :] + dirs[:, None, :] * ts[..., None]
+    flat = pts.reshape(-1, 3)
+
+    density, geo = density_and_features(params, flat, cfg)
+    dirs_rep = jnp.repeat(dirs, S, axis=0)
+    rgb = color(params, geo, dirs_rep).reshape(R, S, 3)
+    sigma = density.reshape(R, S)
+
+    delta = jnp.diff(ts, axis=-1, append=ts[:, -1:] + (cfg.far - cfg.near) / S)
+    alpha = 1.0 - jnp.exp(-sigma * delta)
+    log_t = jnp.log1p(-jnp.clip(alpha, 0.0, 0.999))
+    cum = jnp.cumsum(log_t, axis=-1)
+    trans = jnp.exp(cum - log_t)
+    w = alpha * trans                                          # (R, S)
+
+    out = {
+        "rgb": jnp.sum(w[..., None] * rgb, axis=1),
+        "depth": jnp.sum(w * ts, axis=1),
+        "acc": jnp.sum(w, axis=1),
+        "weights": w,
+        "ts": ts,
+    }
+    if with_normals:
+        def dens_sum(p):
+            d, _ = density_and_features(params, p, cfg)
+            return jnp.sum(d)
+
+        grad = jax.grad(dens_sum)(flat).reshape(R, S, 3)
+        n = -grad / jnp.maximum(
+            jnp.linalg.norm(grad, axis=-1, keepdims=True), 1e-8)
+        out["normal"] = jnp.sum(w[..., None] * n, axis=1)
+    return out
+
+
+def sample_rays(key, camera: Camera, images, depths, normals, n_rays: int):
+    """Random pixel rays across all views. Returns origins, dirs (world),
+    target rgb/depth/normal."""
+    V = images.shape[0]
+    H, W = camera.height, camera.width
+    k1, k2, k3 = jax.random.split(key, 3)
+    vi = jax.random.randint(k1, (n_rays,), 0, V)
+    py = jax.random.randint(k2, (n_rays,), 0, H)
+    px = jax.random.randint(k3, (n_rays,), 0, W)
+
+    c2w = jnp.linalg.inv(camera.viewmat)                       # (V, 4, 4)
+    fx = camera.fx[vi]
+    fy = camera.fy[vi]
+    cx = camera.cx[vi]
+    cy = camera.cy[vi]
+    d_cam = jnp.stack([(px + 0.5 - cx) / fx, (py + 0.5 - cy) / fy,
+                       jnp.ones((n_rays,))], -1)
+    R = c2w[vi, :3, :3]
+    dirs = jnp.einsum("nij,nj->ni", R, d_cam)
+    dirs = dirs / jnp.linalg.norm(dirs, axis=-1, keepdims=True)
+    origins = c2w[vi, :3, 3]
+    tgt = {
+        "rgb": images[vi, py, px],
+        "depth": depths[vi, py, px] if depths is not None else None,
+        "normal": normals[vi, py, px] if normals is not None else None,
+    }
+    return origins, dirs, tgt
+
+
+def make_train_step(cfg: NerfConfig, camera: Camera, images, depths, normals):
+    import optax
+
+    opt = optax.adam(cfg.lr)
+    want_normals = cfg.normal_lambda > 0 and normals is not None
+
+    def loss_fn(params, key):
+        k1, k2 = jax.random.split(key)
+        origins, dirs, tgt = sample_rays(k1, camera, images, depths, normals,
+                                         cfg.rays_per_step)
+        out = render_rays(params, origins, dirs, k2, cfg,
+                          with_normals=want_normals)
+        loss = cfg.rgb_lambda * jnp.mean((out["rgb"] - tgt["rgb"]) ** 2)
+        if cfg.depth_lambda > 0 and tgt["depth"] is not None:
+            # euclidean ray depth from the z-depth target
+            valid = tgt["depth"] > 1e-4
+            loss = loss + cfg.depth_lambda * jnp.sum(
+                jnp.where(valid,
+                          jnp.log1p(jnp.abs(out["depth"] - tgt["depth"])),
+                          0.0)) / jnp.maximum(jnp.sum(valid), 1)
+        if want_normals:
+            valid = jnp.linalg.norm(tgt["normal"], axis=-1) > 0.5
+            loss = loss + cfg.normal_lambda * jnp.sum(
+                jnp.where(valid,
+                          jnp.sum(jnp.abs(out["normal"] - tgt["normal"]), -1),
+                          0.0)) / jnp.maximum(jnp.sum(valid), 1)
+        psnr = -10 * jnp.log10(jnp.mean((out["rgb"] - tgt["rgb"]) ** 2) + 1e-10)
+        return loss, psnr
+
+    @jax.jit
+    def train_chunk(params, opt_state, key, n_steps_dummy):
+        def body(carry, k):
+            params, opt_state = carry
+            (loss, psnr), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                params, k)
+            updates, opt_state = opt.update(grads, opt_state)
+            params = optax.apply_updates(params, updates)
+            return (params, opt_state), {"loss": loss, "psnr": psnr}
+
+        keys = jax.random.split(key, n_steps_dummy.shape[0])
+        (params, opt_state), metrics = jax.lax.scan(
+            body, (params, opt_state), keys)
+        return params, opt_state, metrics
+
+    return opt, train_chunk
+
+
+def render_image(params, camera: Camera, cfg: NerfConfig, key=None,
+                 chunk: int = 8192):
+    """Full-image render (host loop over ray chunks)."""
+    import numpy as np
+
+    H, W = camera.height, camera.width
+    c2w = jnp.linalg.inv(camera.viewmat)
+    ys, xs = jnp.meshgrid(jnp.arange(H, dtype=jnp.float32) + 0.5,
+                          jnp.arange(W, dtype=jnp.float32) + 0.5,
+                          indexing="ij")
+    d_cam = jnp.stack([(xs - camera.cx) / camera.fx,
+                       (ys - camera.cy) / camera.fy,
+                       jnp.ones_like(xs)], -1).reshape(-1, 3)
+    dirs = d_cam @ c2w[:3, :3].T
+    dirs = dirs / jnp.linalg.norm(dirs, axis=-1, keepdims=True)
+    origins = jnp.broadcast_to(c2w[:3, 3], dirs.shape)
+    if key is None:
+        key = jax.random.PRNGKey(0)
+
+    render_j = jax.jit(lambda o, d, k: render_rays(params, o, d, k, cfg))
+    outs = []
+    n = dirs.shape[0]
+    pad = (-n) % chunk
+    o = jnp.concatenate([origins, jnp.zeros((pad, 3))], 0)
+    d = jnp.concatenate([dirs, jnp.ones((pad, 3))], 0)
+    for i in range(0, n + pad, chunk):
+        outs.append(render_j(o[i:i + chunk], d[i:i + chunk], key))
+    rgb = jnp.concatenate([x["rgb"] for x in outs])[:n].reshape(H, W, 3)
+    depth = jnp.concatenate([x["depth"] for x in outs])[:n].reshape(H, W)
+    return {"rgb": np.asarray(rgb), "depth": np.asarray(depth)}

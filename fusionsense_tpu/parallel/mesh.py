@@ -10,8 +10,14 @@ replacement is SPMD over a jax.sharding.Mesh:
   analog of sequence parallelism — see SURVEY.md §5)
 
 Gaussian parameters and optimizer moments are replicated at sparse-view
-scale (<= a few 100k Gaussians); the Gaussian-sharded compositing path is
-the planned extension for densification-heavy scenes.
+scale: the full store is a few MB (65k slots x ~56 B), while the work is
+O(pixels x splats-per-pixel) — so tiles x cameras is the axis decomposition
+that actually scales this workload. Sharding the Gaussian axis would need a
+per-camera depth partition of the store (alpha compositing does not commute
+across arbitrary shards) plus an all-to-all reshard each step; it only pays
+off at ~10M+ Gaussians (city-scale), far beyond the sparse-view regime.
+That path — depth-sliced shards merged with out = out_A + T_A * out_B over
+an ICI scan — is documented here as the planned extension, not built.
 """
 from __future__ import annotations
 
