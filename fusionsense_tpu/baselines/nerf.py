@@ -19,8 +19,6 @@ whole train step jits and scans like the splat trainer.
 from __future__ import annotations
 
 import dataclasses
-import functools
-from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp

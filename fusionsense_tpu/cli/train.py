@@ -9,7 +9,6 @@ subprocess chain.
 from __future__ import annotations
 
 import argparse
-import dataclasses
 import json
 from pathlib import Path
 

@@ -9,7 +9,6 @@ Defaults reproduce the reference experiment schedule
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional
 
 from fusionsense_tpu.gaussians.adc import ADCConfig
 from fusionsense_tpu.render.rasterize import RasterizeConfig

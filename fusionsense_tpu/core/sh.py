@@ -11,7 +11,6 @@ the usual 3DGS "features_dc" (K=1 slice) + "features_rest" packing.
 from __future__ import annotations
 
 import jax
-import jax.numpy as jnp
 
 # Real SH basis constants (same normalization as the 3DGS reference kernels).
 _C0 = 0.28209479177387814

@@ -8,7 +8,6 @@ pycolmap dependency.
 from __future__ import annotations
 
 import dataclasses
-from pathlib import Path
 
 import numpy as np
 

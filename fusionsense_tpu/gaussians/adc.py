@@ -31,7 +31,7 @@ import jax.numpy as jnp
 
 from fusionsense_tpu.core.transforms import quat_to_rotmat
 from fusionsense_tpu.gaussians.store import GaussianState
-from fusionsense_tpu.train.optim import AdamState, surgery
+from fusionsense_tpu.train.optim import AdamState
 
 
 @dataclasses.dataclass(frozen=True)

@@ -16,7 +16,6 @@ features_dc, features_rest, normals.
 """
 from __future__ import annotations
 
-from typing import Optional
 
 import chex
 import jax

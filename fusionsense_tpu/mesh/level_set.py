@@ -19,7 +19,6 @@ import functools
 import jax
 import jax.numpy as jnp
 
-from fusionsense_tpu.core.cameras import Camera
 from fusionsense_tpu.core.transforms import quat_scale_to_inv_cov3d
 
 

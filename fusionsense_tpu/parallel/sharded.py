@@ -14,8 +14,6 @@ dwarfed by the O(T*P*K) compositing that does shard.
 """
 from __future__ import annotations
 
-import functools
-from typing import Optional
 
 import jax
 import jax.numpy as jnp

@@ -21,7 +21,6 @@ from __future__ import annotations
 
 import dataclasses
 import json
-import time
 from pathlib import Path
 from typing import Optional
 
@@ -30,7 +29,6 @@ import jax.numpy as jnp
 import numpy as np
 
 from fusionsense_tpu.config import ExperimentConfig
-from fusionsense_tpu.core.cameras import Camera
 from fusionsense_tpu.data.dataparser import (
     DataParserConfig, load_train_data, parse_transforms,
 )

@@ -106,8 +106,6 @@ def generate_priors(
     orchestrator builds in steps 3/5, scripts/train.py:82-103)."""
     import json
 
-    from PIL import Image
-
     from fusionsense_tpu.data.dataparser import load_depth, load_rgb
 
     scene_dir = Path(scene_dir)

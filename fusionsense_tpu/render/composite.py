@@ -20,7 +20,6 @@ jax.checkpoint to bound the live (tiles, pixels, capacity) alpha tensor.
 """
 from __future__ import annotations
 
-import functools
 import math
 from typing import NamedTuple
 

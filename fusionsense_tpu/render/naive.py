@@ -6,7 +6,6 @@ BASELINE.json's vanilla-3DGS entry.
 """
 from __future__ import annotations
 
-import jax
 import jax.numpy as jnp
 
 from fusionsense_tpu.core.cameras import Camera, pixel_centers

@@ -10,12 +10,10 @@ restore it single- or multi-chip.
 """
 from __future__ import annotations
 
-import dataclasses
 import json
 from pathlib import Path
 from typing import Optional
 
-import jax
 import numpy as np
 import orbax.checkpoint as ocp
 

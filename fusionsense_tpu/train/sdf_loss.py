@@ -15,7 +15,6 @@ fusionsense_tpu/mesh/level_set.py.
 """
 from __future__ import annotations
 
-import functools
 
 import jax
 import jax.numpy as jnp

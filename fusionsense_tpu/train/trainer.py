@@ -13,8 +13,6 @@ with a TPU-native loop:
 """
 from __future__ import annotations
 
-import dataclasses
-import functools
 import time
 from typing import Optional
 
@@ -24,9 +22,7 @@ import jax.numpy as jnp
 
 from fusionsense_tpu.config import ExperimentConfig
 from fusionsense_tpu.core.cameras import Camera
-from fusionsense_tpu.gaussians.adc import (
-    accumulate_stats, init_stats, refine, RefineStats,
-)
+from fusionsense_tpu.gaussians.adc import accumulate_stats, init_stats, refine
 from fusionsense_tpu.gaussians.resize import pick_capacity, resize_train_state
 from fusionsense_tpu.gaussians.store import GaussianState, activated
 from fusionsense_tpu.core.transforms import apply_se3_delta
@@ -34,9 +30,7 @@ from fusionsense_tpu.render.rasterize import (
     gaussian_flat_normals, rasterize,
 )
 from fusionsense_tpu.train import losses as L
-from fusionsense_tpu.train.optim import (
-    AdamState, adam_step, DEFAULT_GROUPS, init_adam,
-)
+from fusionsense_tpu.train.optim import adam_step, DEFAULT_GROUPS, init_adam
 
 
 @chex.dataclass

@@ -7,7 +7,6 @@ framework has zero native-viz dependencies.
 """
 from __future__ import annotations
 
-import struct
 from pathlib import Path
 
 import numpy as np
