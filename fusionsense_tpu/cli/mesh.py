@@ -24,6 +24,8 @@ def build_parser():
     p.add_argument("--resolution", type=int, default=192)
     p.add_argument("--level", type=float, default=0.3,
                    help="sugar-coarse density level")
+    p.add_argument("--levels", type=float, nargs="*", default=None,
+                   help="extract at multiple density levels (sugar-coarse)")
     p.add_argument("--tile-capacity", type=int, default=512)
     p.add_argument("--backend", choices=["jax", "pallas"], default="jax")
     return p
@@ -47,12 +49,14 @@ def main(argv=None):
     rcfg = RasterizeConfig(tile_capacity=args.tile_capacity,
                            backend=args.backend)
     hull = scene.hull_points
-    verts, faces, path = extract(
-        args.method, gaussians, camera, rcfg, out,
-        untransform=scene.untransform_points, hull_points=hull,
-        resolution=args.resolution, level=args.level)
-    print(f"mesh[{args.method}] @ step {step}: {len(verts)} verts, "
-          f"{len(faces)} faces -> {path}")
+    levels = args.levels if args.levels else [args.level]
+    for lvl in levels:
+        verts, faces, path = extract(
+            args.method, gaussians, camera, rcfg, out,
+            untransform=scene.untransform_points, hull_points=hull,
+            resolution=args.resolution, level=lvl)
+        print(f"mesh[{args.method}] level {lvl} @ step {step}: "
+              f"{len(verts)} verts, {len(faces)} faces -> {path}")
 
 
 if __name__ == "__main__":

@@ -163,7 +163,8 @@ def extract(
 
     if untransform is not None and len(verts):
         verts = untransform(verts).astype(np.float32)
-    path = out_dir / f"mesh_{method}.ply"
+    suffix = f"_level_{level}" if method == "sugar-coarse" else ""
+    path = out_dir / f"mesh_{method}{suffix}.ply"
     write_ply(path, verts, faces=faces,
               normals=vertex_normals(verts, faces) if len(verts) else None)
     # smoothed variants, like the reference's smoothed_1/2_* Poisson outputs
@@ -173,6 +174,6 @@ def extract(
         sm = verts
         for k in (1, 2):
             sm = laplacian_smooth(sm, faces, iterations=1)
-            write_ply(out_dir / f"smoothed_{k}_mesh_{method}.ply", sm,
+            write_ply(out_dir / f"smoothed_{k}_mesh_{method}{suffix}.ply", sm,
                       faces=faces)
     return verts, faces, path
