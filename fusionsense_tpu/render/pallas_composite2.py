@@ -71,7 +71,8 @@ def _alpha_of_chunk(pack_c, px, py):
 
 
 def _fwd_kernel(count_ref, pack_ref, chan_ref, out_ref, logt_ref,
-                *, tiles_x: int, tile_size: int, B: int, K: int, C: int):
+                *, tiles_x: int, tile_size: int, B: int, K: int, C: int,
+                blend_bf16: bool = False):
     P = tile_size * tile_size
     i = pl.program_id(0)
     px, py = _pixel_xy(i, tiles_x, tile_size, P)
@@ -87,7 +88,13 @@ def _fwd_kernel(count_ref, pack_ref, chan_ref, out_ref, logt_ref,
         cum = jnp.dot(tril, lg, preferred_element_type=jnp.float32)
         t_excl = jnp.exp(log_t + cum - lg)
         w = alpha * t_excl
-        acc = acc + jnp.dot(chan_c.T, w, preferred_element_type=jnp.float32)
+        if blend_bf16:
+            acc = acc + jnp.dot(chan_c.T.astype(jnp.bfloat16),
+                                w.astype(jnp.bfloat16),
+                                preferred_element_type=jnp.float32)
+        else:
+            acc = acc + jnp.dot(chan_c.T, w,
+                                preferred_element_type=jnp.float32)
         log_t = log_t + cum[B - 1:B, :]
         return c + 1, log_t, acc
 
@@ -104,7 +111,8 @@ def _fwd_kernel(count_ref, pack_ref, chan_ref, out_ref, logt_ref,
 
 def _bwd_kernel(count_ref, pack_ref, chan_ref, g_out_ref, g_logt_ref,
                 dpack_ref, dchan_ref, dabs_ref, carries_ref,
-                *, tiles_x: int, tile_size: int, B: int, K: int, C: int):
+                *, tiles_x: int, tile_size: int, B: int, K: int, C: int,
+                blend_bf16: bool = False):
     P = tile_size * tile_size
     i = pl.program_id(0)
     px, py = _pixel_xy(i, tiles_x, tile_size, P)
@@ -139,7 +147,12 @@ def _bwd_kernel(count_ref, pack_ref, chan_ref, g_out_ref, g_logt_ref,
         t_excl = jnp.exp(log_t_in + cum - lg)
         w = alpha * t_excl
 
-        q = jnp.dot(chan_c, g_out, preferred_element_type=jnp.float32)
+        if blend_bf16:
+            q = jnp.dot(chan_c.astype(jnp.bfloat16),
+                        g_out.astype(jnp.bfloat16),
+                        preferred_element_type=jnp.float32)
+        else:
+            q = jnp.dot(chan_c, g_out, preferred_element_type=jnp.float32)
         a_term = w * q
         cum_a = jnp.dot(tril, a_term, preferred_element_type=jnp.float32)
         suffix = (cum_a[B - 1:B, :] - cum_a) + S
@@ -165,19 +178,25 @@ def _bwd_kernel(count_ref, pack_ref, chan_ref, g_out_ref, g_logt_ref,
         dabs_ref[0, pl.ds(c * B, B), :] = jnp.concatenate(
             [jnp.abs(d_mx), jnp.abs(d_my), zero, zero, zero, zero, zero,
              zero], axis=1)
-        dchan_ref[0, pl.ds(c * B, B), :] = jnp.dot(
-            w, g_out.T, preferred_element_type=jnp.float32)
+        if blend_bf16:
+            dchan_ref[0, pl.ds(c * B, B), :] = jnp.dot(
+                w.astype(jnp.bfloat16), g_out.T.astype(jnp.bfloat16),
+                preferred_element_type=jnp.float32)
+        else:
+            dchan_ref[0, pl.ds(c * B, B), :] = jnp.dot(
+                w, g_out.T, preferred_element_type=jnp.float32)
         return S + jnp.sum(a_term, axis=0, keepdims=True)
 
     jax.lax.fori_loop(0, n_chunks, bwd_body, jnp.zeros((1, P), jnp.float32))
 
 
-def _run_fwd(pack, chan, counts, *, tiles_x, tile_size, B):
+def _run_fwd(pack, chan, counts, *, tiles_x, tile_size, B, blend_bf16=False):
     T, K, _ = pack.shape
     C = chan.shape[-1]
     P = tile_size * tile_size
     kern = functools.partial(_fwd_kernel, tiles_x=tiles_x,
-                             tile_size=tile_size, B=B, K=K, C=C)
+                             tile_size=tile_size, B=B, K=K, C=C,
+                             blend_bf16=blend_bf16)
     return pl.pallas_call(
         kern,
         grid_spec=pltpu.PrefetchScalarGridSpec(
@@ -199,12 +218,14 @@ def _run_fwd(pack, chan, counts, *, tiles_x, tile_size, B):
     )(counts, pack, chan)
 
 
-def _run_bwd(pack, chan, counts, g_out, g_logt, *, tiles_x, tile_size, B):
+def _run_bwd(pack, chan, counts, g_out, g_logt, *, tiles_x, tile_size, B,
+             blend_bf16=False):
     T, K, _ = pack.shape
     C = chan.shape[-1]
     P = tile_size * tile_size
     kern = functools.partial(_bwd_kernel, tiles_x=tiles_x,
-                             tile_size=tile_size, B=B, K=K, C=C)
+                             tile_size=tile_size, B=B, K=K, C=C,
+                             blend_bf16=blend_bf16)
     return pl.pallas_call(
         kern,
         grid_spec=pltpu.PrefetchScalarGridSpec(
@@ -231,9 +252,9 @@ def _run_bwd(pack, chan, counts, g_out, g_logt, *, tiles_x, tile_size, B):
     )(counts, pack, chan, g_out, g_logt)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
 def pallas_composite2(pack, chan, counts, absgrad_tap,
-                      tiles_x, tile_size, B=128):
+                      tiles_x, tile_size, B=128, blend_bf16=False):
     """Fused compositing, direct-conic form.
 
     pack: (T, K, 8) [mx, my, ca, cb, cc, log_op, 0, 0]; dead slots must
@@ -243,24 +264,26 @@ def pallas_composite2(pack, chan, counts, absgrad_tap,
     Returns (out (T, P, C), alpha (T, P)).
     """
     out, logt = _run_fwd(pack, chan, counts, tiles_x=tiles_x,
-                         tile_size=tile_size, B=B)
+                         tile_size=tile_size, B=B, blend_bf16=blend_bf16)
     return jnp.swapaxes(out, 1, 2), 1.0 - jnp.exp(logt[:, 0, :])
 
 
-def _fwd_rule(pack, chan, counts, absgrad_tap, tiles_x, tile_size, B):
+def _fwd_rule(pack, chan, counts, absgrad_tap, tiles_x, tile_size, B,
+              blend_bf16):
     out, logt = _run_fwd(pack, chan, counts, tiles_x=tiles_x,
-                         tile_size=tile_size, B=B)
+                         tile_size=tile_size, B=B, blend_bf16=blend_bf16)
     return ((jnp.swapaxes(out, 1, 2), 1.0 - jnp.exp(logt[:, 0, :])),
             (pack, chan, counts))
 
 
-def _bwd_rule(tiles_x, tile_size, B, res, g):
+def _bwd_rule(tiles_x, tile_size, B, blend_bf16, res, g):
     pack, chan, counts = res
     g_out, g_alpha = g
     g_out_t = jnp.swapaxes(g_out, 1, 2)
     g_logt = (-g_alpha)[:, None, :]
     dpack, dchan, dabs = _run_bwd(pack, chan, counts, g_out_t, g_logt,
-                                  tiles_x=tiles_x, tile_size=tile_size, B=B)
+                                  tiles_x=tiles_x, tile_size=tile_size, B=B,
+                                  blend_bf16=blend_bf16)
     return dpack, dchan, None, dabs[..., :2]
 
 

@@ -48,6 +48,8 @@ class RasterizeConfig:
     # (fused streaming kernel with early termination; TPU only)
     backend: str = "jax"
     pallas_chunk: int = 128
+    # bf16 blend matmuls in the pallas kernel (alpha math stays f32)
+    blend_bf16: bool = False
 
 
 class RenderOutputs(NamedTuple):
@@ -175,7 +177,7 @@ def rasterize(
         tile_abs_tap = absgrad_tap[idx] * bins.mask[..., None]
         out_tiled, alpha_tiled = pallas_composite2(
             tile_pack, tile_chan_p, counts, tile_abs_tap,
-            grid.tiles_x, cfg.tile_size, cfg.pallas_chunk)
+            grid.tiles_x, cfg.tile_size, cfg.pallas_chunk, cfg.blend_bf16)
         out_tiled = out_tiled[..., :nchan]
     else:
         coeff = alpha_coefficients(mean2d, proj.conic, op, proj.valid)

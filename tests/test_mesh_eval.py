@@ -53,3 +53,14 @@ def test_faro_depth_eval_exact():
     res = faro_depth_eval(np.stack(depths), np.asarray(ref), cams)
     assert res["abs_rel"] < 0.02
     assert res["a1"] > 0.97
+
+
+def test_mask_image():
+    from fusionsense_tpu.eval.mask_render import mask_image
+
+    rgb = np.full((4, 4, 3), 0.5, np.float32)
+    mask = np.zeros((4, 4), np.float32)
+    mask[1, 1] = 1.0
+    out = mask_image(rgb, mask)
+    assert out[1, 1, 0] == 0.5
+    assert out[0, 0, 0] == 1.0
