@@ -136,3 +136,51 @@ def test_static_part_provider():
                               parts=("ears", "tail")).part_names()
     assert resp.classification == "bunny"
     assert resp.parts == ["ears", "tail"]
+
+
+def test_next_best_touches_end_to_end(tmp_path):
+    """Full ATS flow from a mesh + high-grad pcd on disk."""
+    from fusionsense_tpu.mesh.marching import marching_tetrahedra
+    from fusionsense_tpu.touch_select.select import next_best_touches
+    from fusionsense_tpu.utils.ply import write_pcd, write_ply
+
+    xs = np.linspace(-0.6, 0.6, 24)
+    gx, gy, gz = np.meshgrid(xs, xs, xs, indexing="ij")
+    sdf = np.sqrt(gx**2 + gy**2 + gz**2) - 0.4
+    verts, faces = marching_tetrahedra(sdf, 0.0, (-0.6, -0.6, -0.6),
+                                       xs[1] - xs[0])
+    write_ply(tmp_path / "mesh.ply", verts, faces=faces)
+
+    rng = np.random.RandomState(0)
+    hg = rng.randn(40, 3).astype(np.float32) * 0.05 + [0.4, 0, 0]
+    write_pcd(tmp_path / "hg.pcd", hg,
+              extra={"grad_rank": np.arange(40, dtype=np.float32)})
+
+    res = next_best_touches(tmp_path / "mesh.ply", tmp_path / "hg.pcd",
+                            quota=5, out_path=tmp_path / "props.pcd")
+    assert len(res.proposals.points) == 5
+    assert (tmp_path / "props.pcd").exists()
+    # grad-rank ordering respected (single part -> grad rank decides)
+    assert list(res.proposals.grad_rank) == sorted(res.proposals.grad_rank)
+
+
+def test_fs_touch_cli(tmp_path, capsys):
+    from fusionsense_tpu.cli.touch import main
+    from fusionsense_tpu.mesh.marching import marching_tetrahedra
+    from fusionsense_tpu.utils.ply import write_pcd, write_ply
+
+    xs = np.linspace(-0.5, 0.5, 16)
+    gx, gy, gz = np.meshgrid(xs, xs, xs, indexing="ij")
+    sdf = np.sqrt(gx**2 + gy**2 + gz**2) - 0.3
+    verts, faces = marching_tetrahedra(sdf, 0.0, (-0.5, -0.5, -0.5),
+                                       xs[1] - xs[0])
+    write_ply(tmp_path / "mesh.ply", verts, faces=faces)
+    hg = np.random.RandomState(0).randn(20, 3).astype(np.float32) * 0.1
+    write_pcd(tmp_path / "hg.pcd", hg,
+              extra={"grad_rank": np.arange(20, dtype=np.float32)})
+
+    main(["--mode", "touch", "--mesh", str(tmp_path / "mesh.ply"),
+          "--high-grad", str(tmp_path / "hg.pcd"), "--offline",
+          "--quota", "3", "--output", str(tmp_path / "out.pcd")])
+    assert (tmp_path / "out.pcd").exists()
+    assert "touch 0" in capsys.readouterr().out
