@@ -63,6 +63,22 @@ class ReconstructionPipeline:
         self.hull_points: Optional[np.ndarray] = None
         self.trainer: Optional[Trainer] = None
 
+    def _register_artifact(self, key: str, path):
+        """Patch transforms.json so later runs reuse a generated prior
+        (reference set_transforms_and_configs, scripts/train.py:105-112
+        writes ply_file_path/object_pc_path the same way)."""
+        import json
+
+        tj = Path(self.cfg.data.data_dir) / "transforms.json"
+        try:
+            with open(tj) as f:
+                meta = json.load(f)
+            meta[key] = str(Path(path).absolute())
+            with open(tj, "w") as f:
+                json.dump(meta, f)
+        except OSError:
+            pass  # read-only datasets keep artifacts in output_dir only
+
     # ---------------------------------------------------------- priors ----
     def build_priors(self):
         cfg = self.cfg
@@ -73,7 +89,12 @@ class ReconstructionPipeline:
             from fusionsense_tpu.priors.visual_hull import visual_hull
 
             self.hull_points = visual_hull(self.data.masks, self.camera)
-            write_ply(self.out / "foreground_pcd.ply", self.hull_points)
+            # artifacts are stored in CAPTURE coordinates: the dataparser
+            # re-applies the scene normalization on load
+            write_ply(self.out / "foreground_pcd.ply",
+                      self.scene.untransform_points(self.hull_points))
+            self._register_artifact("object_pc_path",
+                                    self.out / "foreground_pcd.ply")
 
         if scene.seed_points is not None:
             pts = jnp.asarray(scene.seed_points)
@@ -93,7 +114,10 @@ class ReconstructionPipeline:
             pts_np, rgb_np = seed_pcd_from_depths(
                 depth_src, self.data.images, self.camera,
                 hull_points=self.hull_points)
-            write_ply(self.out / "merged_pcd.ply", pts_np, colors=rgb_np)
+            write_ply(self.out / "merged_pcd.ply",
+                      self.scene.untransform_points(pts_np), colors=rgb_np)
+            self._register_artifact("ply_file_path",
+                                    self.out / "merged_pcd.ply")
             pts, rgb, normals = jnp.asarray(pts_np), jnp.asarray(rgb_np), None
         return pts, rgb, normals
 

@@ -96,3 +96,35 @@ def test_pipeline_with_touches(scene_dir, tmp_path):
     centers = means.mean(0)
     expected = (np.array([0.4, 0, 0]) + pipe.scene.translate) * pipe.scene.scale
     assert np.linalg.norm(centers - expected) < 0.1 * pipe.scene.scale
+
+
+def test_pipeline_artifacts_roundtrip(scene_dir, tmp_path):
+    """Artifacts registered in transforms.json load back consistently: a
+    second pipeline run must see the seed pcd at the same scene coords."""
+    import json
+    import shutil
+
+    import jax.numpy as jnp
+
+    from fusionsense_tpu.data.dataparser import parse_transforms
+
+    # isolated copy (the pipeline patches transforms.json in place)
+    sd = tmp_path / "scene_copy"
+    shutil.copytree(scene_dir, sd)
+    with open(sd / "transforms.json") as f:
+        meta = json.load(f)
+    meta.pop("ply_file_path", None)   # force pcd-init path
+    with open(sd / "transforms.json", "w") as f:
+        json.dump(meta, f)
+
+    cfg = make_cfg(sd, tmp_path / "out_art", iters=40)
+    pipe = ReconstructionPipeline(cfg)
+    pts_run1, _, _ = pipe.build_priors()
+
+    scene2 = parse_transforms(cfg.data)
+    assert scene2.seed_points is not None, "artifact not registered"
+    assert scene2.hull_points is not None
+    # loaded-back seed pcd lands at the same scene coordinates
+    a = np.sort(np.asarray(pts_run1), axis=0)
+    b = np.sort(np.asarray(scene2.seed_points), axis=0)
+    np.testing.assert_allclose(a, b, atol=1e-4)
