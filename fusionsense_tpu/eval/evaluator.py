@@ -55,7 +55,7 @@ def evaluate(
     per_view = []
     outs = []
     for i in range(V):
-        out = rasterize_out = render(gaussians, jnp.asarray(i))
+        out = render(gaussians, jnp.asarray(i))
         outs.append(out)
         m = M.rgb_metrics(out.rgb, data.images[i],
                           None if data.masks is None else data.masks[i])
