@@ -132,18 +132,34 @@ def _sharded_losses(gaussians, camera, data: TrainData, cam_idx, step,
         total = total + lc.flatness_lambda * L.flatness_loss(
             gaussians.log_scales, gaussians.alive)
     psnr = -10.0 * jnp.log10(jnp.mean((rgb - image_gt) ** 2) + 1e-10)
-    return total, (aux["radius"], psnr)
+    # The full-image loss is computed redundantly on every tile-axis member
+    # (each all_gathers the same image). Under check_vma=False the transpose
+    # of all_gather is psum_scatter, which SUMS the identical cotangents from
+    # all n_tile members — so grads through the gathered image come out
+    # n_tile x too large, while grads through direct param paths (flatness)
+    # don't. Dividing the loss by n_tile makes psum(grad, tile) reconstruct
+    # the exact per-camera gradient for BOTH paths; the step_fn recovers the
+    # true loss value for metrics with a psum over the tile axis.
+    n_tile = jax.lax.axis_size(tile_axis)
+    return total / n_tile, (aux["radius"], psnr)
 
 
 def make_sharded_train_step(cfg: ExperimentConfig, camera: Camera,
-                            data: TrainData, mesh: Mesh, adam_groups=None):
+                            data: TrainData, mesh: Mesh, adam_groups=None,
+                            shard_optimizer: bool = False):
     """One DP x tile-parallel training step over `mesh`.
 
     cam_indices: (n_data,) int32 — one camera per data shard.
-    Everything else replicated; returns updated (gaussians, opt, stats)
-    plus scalar metrics.
+
+    shard_optimizer=True additionally shards the Adam update + moments
+    across the `data` axis along the Gaussian-capacity dimension (the
+    ZeRO-1 pattern): each device applies the optimizer to its slot slice
+    and the fresh params all_gather back over ICI. The optimizer state
+    pytree then LIVES sharded (pass it back in as returned). The capacity
+    must divide the data-axis size.
     """
     adam_groups = adam_groups or DEFAULT_GROUPS
+    n_data = mesh.shape["data"]
 
     def step_fn(gaussians, opt, stats, step, cam_indices):
         cam_idx = cam_indices[0]   # local shard has exactly one camera
@@ -159,27 +175,77 @@ def make_sharded_train_step(cfg: ExperimentConfig, camera: Camera,
         param_grads, tap_grad = grads
 
         # gradient reduction: mean over cameras, sum over tile shards
-        param_grads = jax.tree.map(
-            lambda g: jax.lax.pmean(jax.lax.psum(g, "tile"), "data"),
-            param_grads)
         tap_grad = jax.lax.pmean(jax.lax.psum(tap_grad, "tile"), "data")
 
-        params, opt2 = adam_step(gaussians.params(), param_grads, opt, step,
-                                 gaussians.alive, groups=adam_groups)
+        if shard_optimizer:
+            # ZeRO-1: reduce-scatter grads over `data`, update the local
+            # slot slice against the (sharded) moments, all_gather params
+            me = jax.lax.axis_index("data")
+            C = gaussians.capacity
+            local = C // n_data
+
+            def rs(g):
+                g = jax.lax.psum(g, "tile")
+                return jax.lax.psum_scatter(
+                    g, "data", scatter_dimension=0, tiled=True) / n_data
+
+            local_grads = jax.tree.map(rs, param_grads)
+            full_params = gaussians.params()
+            local_params = jax.tree.map(
+                lambda p: jax.lax.dynamic_slice_in_dim(p, me * local,
+                                                       local, 0),
+                full_params)
+            local_alive = jax.lax.dynamic_slice_in_dim(
+                gaussians.alive, me * local, local, 0)
+            new_local, opt2 = adam_step(local_params, local_grads, opt, step,
+                                        local_alive, groups=adam_groups)
+            params = jax.tree.map(
+                lambda p: jax.lax.all_gather(p, "data", axis=0, tiled=True),
+                new_local)
+        else:
+            param_grads = jax.tree.map(
+                lambda g: jax.lax.pmean(jax.lax.psum(g, "tile"), "data"),
+                param_grads)
+            params, opt2 = adam_step(gaussians.params(), param_grads, opt,
+                                     step, gaussians.alive,
+                                     groups=adam_groups)
         g2 = gaussians.replace(**params)
         # stats: radius is per-camera; accumulate the max over the batch
         radius = jax.lax.pmax(jax.lax.pmax(radius, "data"), "tile")
         stats2 = accumulate_stats(stats, tap_grad, radius,
                                   camera.width, camera.height)
+        # per-device loss is true_loss/n_tile (see _sharded_losses), so the
+        # tile-psum recovers the true per-camera loss before the camera mean
         metrics = {
-            "loss": jax.lax.pmean(jax.lax.pmean(loss, "data"), "tile"),
+            "loss": jax.lax.pmean(jax.lax.psum(loss, "tile"), "data"),
             "psnr": jax.lax.pmean(jax.lax.pmean(psnr, "data"), "tile"),
         }
         return g2, opt2, stats2, metrics
 
+    if shard_optimizer:
+        # moments shard along the capacity axis; the per-group update
+        # counters stay replicated scalars
+        from fusionsense_tpu.gaussians.store import PARAM_KEYS
+        from fusionsense_tpu.train.optim import AdamState
+
+        sharded_leaves = {k: P("data") for k in PARAM_KEYS}
+        opt_spec = AdamState(
+            m=dict(sharded_leaves), v=dict(sharded_leaves),
+            acc=dict(sharded_leaves),
+            counts={k: P() for k in PARAM_KEYS})
+    else:
+        opt_spec = P()
     sharded = shard_map(
         step_fn, mesh=mesh,
-        in_specs=(P(), P(), P(), P(), P("data")),
-        out_specs=(P(), P(), P(), P()),
+        in_specs=(P(), opt_spec, P(), P(), P("data")),
+        out_specs=(P(), opt_spec, P(), P()),
+        # check_vma=False everywhere: with vma tracking ON, cotangents of
+        # replicated inputs are auto-psummed over ALL mesh axes, which would
+        # double-count on top of the manual psum/pmean reductions here (and
+        # weight direct-path loss terms differently from all_gather-path
+        # ones). With it OFF, grads are per-device contributions and the
+        # 1/n_tile loss scaling in _sharded_losses makes the manual
+        # reductions exactly the mean-over-cameras gradient.
+        check_vma=False,
     )
     return jax.jit(sharded)

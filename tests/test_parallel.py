@@ -84,7 +84,7 @@ def test_sharded_matches_single_device_grads(scene):
 
     mesh = make_mesh(8, data=4, tile=2)
     step_fn = make_sharded_train_step(cfg, cams, data, mesh)
-    g_sh, _, _, m_sh = step_fn(g, opt, stats, jnp.asarray(0), cam_indices)
+    g_sh, opt_sh, _, m_sh = step_fn(g, opt, stats, jnp.asarray(0), cam_indices)
 
     # single-device reference: mean of per-camera grads
     from fusionsense_tpu.train.trainer import compute_losses
@@ -101,10 +101,47 @@ def test_sharded_matches_single_device_grads(scene):
         gi = jax.grad(loss_one)(g.params(), tap0, jnp.asarray(i))
         grads = gi if grads is None else jax.tree.map(jnp.add, grads, gi)
     grads = jax.tree.map(lambda x: x / 4.0, grads)
-    params_ref, _ = adam_step(g.params(), grads, opt, jnp.asarray(0), g.alive)
+    params_ref, opt_ref = adam_step(g.params(), grads, opt, jnp.asarray(0),
+                                    g.alive)
 
     np.testing.assert_allclose(np.asarray(g_sh.means), np.asarray(params_ref["means"]),
                                atol=2e-5, rtol=1e-3)
     np.testing.assert_allclose(np.asarray(g_sh.features_dc),
                                np.asarray(params_ref["features_dc"]),
                                atol=2e-5, rtol=1e-3)
+    # moments validate the gradient SCALE (the Adam direction at t=1 is
+    # scale-invariant, so the param comparison alone would not catch a
+    # constant-factor gradient error)
+    np.testing.assert_allclose(np.asarray(opt_sh.m["means"]),
+                               np.asarray(opt_ref.m["means"]),
+                               atol=2e-5, rtol=1e-3)
+
+
+def test_zero1_sharded_optimizer_matches(scene):
+    """ZeRO-1 sharded optimizer state produces the same update as the
+    replicated path."""
+    cams, data, rcfg = scene
+    cfg = make_cfg(rcfg)
+    pts, rgb, _ = sphere_points(n=80, radius=0.5)
+    g = init_from_points(pts, rgb, capacity=256, sh_degree=1)
+    opt = init_adam(g.params())
+    stats = init_stats(256)
+    cam_indices = jnp.arange(4, dtype=jnp.int32)
+    mesh = make_mesh(8, data=4, tile=2)
+
+    step_rep = make_sharded_train_step(cfg, cams, data, mesh)
+    g_rep, opt_rep, _, _ = step_rep(g, opt, stats, jnp.asarray(0), cam_indices)
+
+    step_z1 = make_sharded_train_step(cfg, cams, data, mesh,
+                                      shard_optimizer=True)
+    g_z1, opt_z1, _, _ = step_z1(g, opt, stats, jnp.asarray(0), cam_indices)
+
+    np.testing.assert_allclose(np.asarray(g_z1.means), np.asarray(g_rep.means),
+                               atol=3e-5, rtol=1e-3)
+    np.testing.assert_allclose(np.asarray(g_z1.features_dc),
+                               np.asarray(g_rep.features_dc),
+                               atol=3e-5, rtol=1e-3)
+    # moments live sharded but concatenate back to the replicated values
+    np.testing.assert_allclose(np.asarray(opt_z1.m["means"]),
+                               np.asarray(opt_rep.m["means"]),
+                               atol=3e-5, rtol=1e-3)
