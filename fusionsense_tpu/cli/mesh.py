@@ -26,6 +26,13 @@ def build_parser():
                    help="sugar-coarse density level")
     p.add_argument("--levels", type=float, nargs="*", default=None,
                    help="extract at multiple density levels (sugar-coarse)")
+    p.add_argument("--level-mode",
+                   choices=["absolute", "relative", "peak"],
+                   default="absolute",
+                   help="sugar-coarse surface localization: 'absolute' = "
+                        "reference level-crossing semantics; 'relative' = "
+                        "level x ray-max density (scale-invariant); 'peak' = "
+                        "density-peak refinement (least surface bias)")
     p.add_argument("--tile-capacity", type=int, default=512)
     p.add_argument("--backend", choices=["jax", "pallas"], default="jax")
     return p
@@ -54,7 +61,8 @@ def main(argv=None):
         verts, faces, path = extract(
             args.method, gaussians, camera, rcfg, out,
             untransform=scene.untransform_points, hull_points=hull,
-            resolution=args.resolution, level=lvl)
+            resolution=args.resolution, level=lvl,
+            level_mode=args.level_mode)
         print(f"mesh[{args.method}] level {lvl} @ step {step}: "
               f"{len(verts)} verts, {len(faces)} faces -> {path}")
 

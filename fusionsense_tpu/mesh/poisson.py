@@ -23,6 +23,11 @@ class PoissonConfig:
     resolution: int = 160
     padding: float = 0.15        # fraction of extent padded on each side
     smooth_sigma: float = 1.5    # Gaussian pre-smoothing of V (voxels)
+    # drop mesh vertices farther than this many voxels from any input
+    # sample (the FFT solve is periodic, so far-field chi noise can emit
+    # spurious sheets; this mirrors open3d's low-density vertex removal
+    # after screened Poisson). <= 0 disables.
+    trim_voxels: float = 4.0
 
 
 def _scatter_field(points: jax.Array, normals: jax.Array, res: int):
@@ -96,4 +101,16 @@ def poisson_reconstruct(
     # "inside = value < iso", so negate.
     verts, faces = marching_tetrahedra(-chi, iso=-iso, origin=origin,
                                        spacing=scale)
+
+    if cfg.trim_voxels > 0 and len(verts) and len(points):
+        from scipy.spatial import cKDTree
+
+        d, _ = cKDTree(points).query(verts, k=1, workers=-1)
+        keep = d <= cfg.trim_voxels * scale
+        if keep.any() and not keep.all():
+            remap = np.full(len(verts), -1, np.int64)
+            remap[keep] = np.arange(int(keep.sum()))
+            verts = verts[keep]
+            fkeep = keep[faces].all(axis=1)
+            faces = remap[faces[fkeep]]
     return verts, faces

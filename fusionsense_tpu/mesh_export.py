@@ -70,6 +70,7 @@ def extract(
     hull_points: np.ndarray | None = None,
     resolution: int = 192,
     level: float = 0.3,
+    level_mode: str = "absolute",
     poisson: PoissonConfig = PoissonConfig(),
     n_views: int | None = None,
 ):
@@ -118,7 +119,8 @@ def extract(
             p, n, valid = level_surface_from_depth(
                 jnp.asarray(depths[i]), cam_i.viewmat, cam_i.fx, cam_i.fy,
                 cam_i.cx, cam_i.cy, m, q, s, o, gaussians.alive, gn,
-                width=camera.width, height=camera.height, level=level)
+                width=camera.width, height=camera.height, level=level,
+                level_mode=level_mode)
             v = np.asarray(valid)
             pts.append(np.asarray(p)[v])
             nrms.append(np.asarray(n)[v])

@@ -127,3 +127,44 @@ def test_density_grid_peaks_at_gaussians():
     peak = np.unravel_index(np.argmax(field), field.shape)
     assert peak == (8, 8, 8) or all(abs(p - 8) <= 1 for p in peak)
     assert field.max() > 0.5
+
+
+def test_level_set_modes_reduce_bias():
+    """relative/peak level modes localize the Gaussian shell with less
+    outward bias than the absolute-level crossing."""
+    from fusionsense_tpu.gaussians.init import init_from_points
+    from fusionsense_tpu.gaussians.store import activated
+    from fusionsense_tpu.mesh.level_set import level_surface_from_depth
+    from fusionsense_tpu.render.rasterize import (
+        RasterizeConfig, gaussian_flat_normals, rasterize,
+    )
+
+    R = 0.4
+    pts, rgb, normals = sphere_points(n=2000, radius=R)
+    g = init_from_points(pts, rgb, capacity=2048, sh_degree=1,
+                         seed_normals=normals, init_opacity=0.95)
+    cams = ring_cameras(n_views=1, width=64, height_px=48, focal=60.0)
+    rcfg = RasterizeConfig(tile_size=16, tile_capacity=256,
+                           max_tiles_per_gaussian=8, tile_chunk=16,
+                           sh_degree=1)
+    m, q, s, o, c = activated(g)
+    cam0 = cams.index(0)
+    out = rasterize(m, q, s, o, c, cam0, rcfg)
+    gn = gaussian_flat_normals(q, s, m, cam0.origin)
+
+    bias = {}
+    for mode in ("absolute", "relative", "peak"):
+        p, n, valid = level_surface_from_depth(
+            out.depth, cam0.viewmat, cam0.fx, cam0.fy, cam0.cx, cam0.cy,
+            m, q, s, o, g.alive, gn, width=64, height=48, level=0.3,
+            chunk=1024, n_samples=15, level_mode=mode)
+        v = np.asarray(valid)
+        assert v.sum() > 100, mode
+        r = np.linalg.norm(np.asarray(p)[v], axis=-1)
+        bias[mode] = float(np.median(r) - R)
+    # all estimators land on the shell
+    for mode, b in bias.items():
+        assert abs(b) < 0.03, (mode, bias)
+    # and the calibrated modes are strictly less outward-biased
+    assert abs(bias["peak"]) < abs(bias["absolute"]), bias
+    assert abs(bias["relative"]) <= abs(bias["absolute"]) + 1e-6, bias
