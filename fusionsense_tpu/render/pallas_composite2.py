@@ -11,7 +11,10 @@ Differences from fusionsense_tpu/render/pallas_composite.py (v1):
   gsplat's absgrad densification statistic exactly (sum over tiles of
   |per-tile position gradient|, reference dn_model consumes it via
   means2d.absgrad),
-- early termination + two-sweep backward carried over from v1.
+- single-sweep backward: the forward stores per-chunk log-transmittance
+  carries and the early-termination chunk count, so the backward replays
+  nothing and skips chunks the forward never composited (matching its
+  early-exit numerics exactly).
 
 Exposed as rasterize(..., backend="pallas") via pallas_composite2 with a
 zero-valued `absgrad_tap` input whose custom-vjp "gradient" carries the
@@ -71,6 +74,7 @@ def _alpha_of_chunk(pack_c, px, py):
 
 
 def _fwd_kernel(count_ref, pack_ref, chan_ref, out_ref, logt_ref,
+                carry_ref, nused_ref,
                 *, tiles_x: int, tile_size: int, B: int, K: int, C: int,
                 blend_bf16: bool = False):
     P = tile_size * tile_size
@@ -83,6 +87,9 @@ def _fwd_kernel(count_ref, pack_ref, chan_ref, out_ref, logt_ref,
         c, log_t, acc = state
         pack_c = pack_ref[0, pl.ds(c * B, B), :]
         chan_c = chan_ref[0, pl.ds(c * B, B), :]
+        # record log T entering this chunk: the backward replays from these
+        # carries instead of re-running the whole forward sweep
+        carry_ref[0, pl.ds(c, 1), :] = log_t
         alpha, _, _ = _alpha_of_chunk(pack_c, px, py)
         lg = jnp.log1p(-alpha)
         cum = jnp.dot(tril, lg, preferred_element_type=jnp.float32)
@@ -102,48 +109,43 @@ def _fwd_kernel(count_ref, pack_ref, chan_ref, out_ref, logt_ref,
         c, log_t, _ = state
         return jnp.logical_and(c < n_chunks, jnp.max(log_t) > T_EPS_LOG)
 
-    _, log_t, acc = jax.lax.while_loop(
+    c_fin, log_t, acc = jax.lax.while_loop(
         cond, body,
         (0, jnp.zeros((1, P), jnp.float32), jnp.zeros((C, P), jnp.float32)))
     out_ref[0, :, :] = acc
     logt_ref[0, :, :] = log_t
+    # chunks actually composited before early termination — the backward
+    # skips everything past this (those chunks contributed nothing)
+    nused_ref[0, :, :] = jnp.full((1, 128), c_fin, jnp.int32)
 
 
-def _bwd_kernel(count_ref, pack_ref, chan_ref, g_out_ref, g_logt_ref,
-                dpack_ref, dchan_ref, dabs_ref, carries_ref,
+def _bwd_kernel(neff_ref, pack_ref, chan_ref, g_out_ref, g_logt_ref,
+                logt_ref, carry_ref,
+                dpack_ref, dchan_ref, dabs_ref,
                 *, tiles_x: int, tile_size: int, B: int, K: int, C: int,
                 blend_bf16: bool = False):
     P = tile_size * tile_size
     i = pl.program_id(0)
     px, py = _pixel_xy(i, tiles_x, tile_size, P)
-    n_chunks = (count_ref[i] + B - 1) // B
+    n_eff = neff_ref[i]          # chunks the forward actually composited
     tril = _tril_ones(B)
 
     g_out = g_out_ref[0, :, :]
     g_logt = g_logt_ref[0, :, :]
+    t_fin = jnp.exp(logt_ref[0, :, :])
 
     dpack_ref[0, :, :] = jnp.zeros((K, 8), jnp.float32)
     dchan_ref[0, :, :] = jnp.zeros((K, C), jnp.float32)
     dabs_ref[0, :, :] = jnp.zeros((K, 8), jnp.float32)
 
-    def fwd_body(c, log_t):
-        pack_c = pack_ref[0, pl.ds(c * B, B), :]
-        alpha, _, _ = _alpha_of_chunk(pack_c, px, py)
-        carries_ref[pl.ds(c, 1), :] = log_t
-        return log_t + jnp.sum(jnp.log1p(-alpha), axis=0, keepdims=True)
-
-    log_t_fin = jax.lax.fori_loop(0, n_chunks, fwd_body,
-                                  jnp.zeros((1, P), jnp.float32))
-    t_fin = jnp.exp(log_t_fin)
-
     def bwd_body(k, S):
-        c = n_chunks - 1 - k
+        c = n_eff - 1 - k
         pack_c = pack_ref[0, pl.ds(c * B, B), :]
         chan_c = chan_ref[0, pl.ds(c * B, B), :]
         alpha, alive, (dx, dy, ca, cb, cc) = _alpha_of_chunk(pack_c, px, py)
         lg = jnp.log1p(-alpha)
         cum = jnp.dot(tril, lg, preferred_element_type=jnp.float32)
-        log_t_in = carries_ref[pl.ds(c, 1), :]
+        log_t_in = carry_ref[0, pl.ds(c, 1), :]
         t_excl = jnp.exp(log_t_in + cum - lg)
         w = alpha * t_excl
 
@@ -187,7 +189,7 @@ def _bwd_kernel(count_ref, pack_ref, chan_ref, g_out_ref, g_logt_ref,
                 w, g_out.T, preferred_element_type=jnp.float32)
         return S + jnp.sum(a_term, axis=0, keepdims=True)
 
-    jax.lax.fori_loop(0, n_chunks, bwd_body, jnp.zeros((1, P), jnp.float32))
+    jax.lax.fori_loop(0, n_eff, bwd_body, jnp.zeros((1, P), jnp.float32))
 
 
 def _run_fwd(pack, chan, counts, *, tiles_x, tile_size, B, blend_bf16=False):
@@ -208,18 +210,22 @@ def _run_fwd(pack, chan, counts, *, tiles_x, tile_size, B, blend_bf16=False):
             out_specs=[
                 pl.BlockSpec((1, C, P), lambda i, c: (i, 0, 0)),
                 pl.BlockSpec((1, 1, P), lambda i, c: (i, 0, 0)),
+                pl.BlockSpec((1, K // B, P), lambda i, c: (i, 0, 0)),
+                pl.BlockSpec((1, 1, 128), lambda i, c: (i, 0, 0)),
             ],
         ),
         out_shape=[
             jax.ShapeDtypeStruct((T, C, P), jnp.float32),
             jax.ShapeDtypeStruct((T, 1, P), jnp.float32),
+            jax.ShapeDtypeStruct((T, K // B, P), jnp.float32),
+            jax.ShapeDtypeStruct((T, 1, 128), jnp.int32),
         ],
         interpret=_interpret(),
     )(counts, pack, chan)
 
 
-def _run_bwd(pack, chan, counts, g_out, g_logt, *, tiles_x, tile_size, B,
-             blend_bf16=False):
+def _run_bwd(pack, chan, neff, g_out, g_logt, logt, carries,
+             *, tiles_x, tile_size, B, blend_bf16=False):
     T, K, _ = pack.shape
     C = chan.shape[-1]
     P = tile_size * tile_size
@@ -235,13 +241,14 @@ def _run_bwd(pack, chan, counts, g_out, g_logt, *, tiles_x, tile_size, B,
                 pl.BlockSpec((1, K, C), lambda i, c: (i, 0, 0)),
                 pl.BlockSpec((1, C, P), lambda i, c: (i, 0, 0)),
                 pl.BlockSpec((1, 1, P), lambda i, c: (i, 0, 0)),
+                pl.BlockSpec((1, 1, P), lambda i, c: (i, 0, 0)),
+                pl.BlockSpec((1, K // B, P), lambda i, c: (i, 0, 0)),
             ],
             out_specs=[
                 pl.BlockSpec((1, K, 8), lambda i, c: (i, 0, 0)),
                 pl.BlockSpec((1, K, C), lambda i, c: (i, 0, 0)),
                 pl.BlockSpec((1, K, 8), lambda i, c: (i, 0, 0)),
             ],
-            scratch_shapes=[pltpu.VMEM((K // B, P), jnp.float32)],
         ),
         out_shape=[
             jax.ShapeDtypeStruct((T, K, 8), jnp.float32),
@@ -249,7 +256,7 @@ def _run_bwd(pack, chan, counts, g_out, g_logt, *, tiles_x, tile_size, B,
             jax.ShapeDtypeStruct((T, K, 8), jnp.float32),
         ],
         interpret=_interpret(),
-    )(counts, pack, chan, g_out, g_logt)
+    )(neff, pack, chan, g_out, g_logt, logt, carries)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
@@ -263,26 +270,29 @@ def pallas_composite2(pack, chan, counts, absgrad_tap,
       custom-vjp gradient returns the per-(tile, slot) |position grad|.
     Returns (out (T, P, C), alpha (T, P)).
     """
-    out, logt = _run_fwd(pack, chan, counts, tiles_x=tiles_x,
-                         tile_size=tile_size, B=B, blend_bf16=blend_bf16)
+    out, logt, _, _ = _run_fwd(pack, chan, counts, tiles_x=tiles_x,
+                               tile_size=tile_size, B=B,
+                               blend_bf16=blend_bf16)
     return jnp.swapaxes(out, 1, 2), 1.0 - jnp.exp(logt[:, 0, :])
 
 
 def _fwd_rule(pack, chan, counts, absgrad_tap, tiles_x, tile_size, B,
               blend_bf16):
-    out, logt = _run_fwd(pack, chan, counts, tiles_x=tiles_x,
-                         tile_size=tile_size, B=B, blend_bf16=blend_bf16)
+    out, logt, carries, nused = _run_fwd(
+        pack, chan, counts, tiles_x=tiles_x, tile_size=tile_size, B=B,
+        blend_bf16=blend_bf16)
     return ((jnp.swapaxes(out, 1, 2), 1.0 - jnp.exp(logt[:, 0, :])),
-            (pack, chan, counts))
+            (pack, chan, nused[:, 0, 0], logt, carries))
 
 
 def _bwd_rule(tiles_x, tile_size, B, blend_bf16, res, g):
-    pack, chan, counts = res
+    pack, chan, neff, logt, carries = res
     g_out, g_alpha = g
     g_out_t = jnp.swapaxes(g_out, 1, 2)
     g_logt = (-g_alpha)[:, None, :]
-    dpack, dchan, dabs = _run_bwd(pack, chan, counts, g_out_t, g_logt,
-                                  tiles_x=tiles_x, tile_size=tile_size, B=B,
+    dpack, dchan, dabs = _run_bwd(pack, chan, neff, g_out_t, g_logt, logt,
+                                  carries, tiles_x=tiles_x,
+                                  tile_size=tile_size, B=B,
                                   blend_bf16=blend_bf16)
     return dpack, dchan, None, dabs[..., :2]
 
