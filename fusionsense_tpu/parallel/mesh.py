@@ -8,16 +8,19 @@ replacement is SPMD over a jax.sharding.Mesh:
 - axis "data": cameras/views (gradient psum — the DDP analog)
 - axis "tile": image-tile sharding inside the rasterizer (the workload's
   analog of sequence parallelism — see SURVEY.md §5)
+- axis "gauss": DEPTH-SLICED Gaussian sharding (the model-parallel analog,
+  SURVEY.md §7.3 hard-part 5). Alpha compositing does not commute across
+  arbitrary Gaussian shards, but it DOES decompose exactly across a
+  per-camera depth partition: shard g composites only Gaussians whose view
+  depth falls in its log-depth slice, and the slices merge front-to-back
+  with out = sum_g T_{<g} * out_g, log T = sum_g log T_g (an all_gather
+  over ICI + a tiny weighted combine). No resharding of the store is
+  needed — each shard masks to its slice — and each shard contributes its
+  own per-tile capacity, so the effective per-tile capacity is G x K.
 
-Gaussian parameters and optimizer moments are replicated at sparse-view
-scale: the full store is a few MB (65k slots x ~56 B), while the work is
-O(pixels x splats-per-pixel) — so tiles x cameras is the axis decomposition
-that actually scales this workload. Sharding the Gaussian axis would need a
-per-camera depth partition of the store (alpha compositing does not commute
-across arbitrary shards) plus an all-to-all reshard each step; it only pays
-off at ~10M+ Gaussians (city-scale), far beyond the sparse-view regime.
-That path — depth-sliced shards merged with out = out_A + T_A * out_B over
-an ICI scan — is documented here as the planned extension, not built.
+Gaussian parameters and optimizer moments stay replicated at sparse-view
+scale (the store is a few MB); the ZeRO-1 option in parallel/sharded.py
+shards the optimizer state along `data` when capacity grows.
 """
 from __future__ import annotations
 
@@ -27,14 +30,15 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
 def make_mesh(n_devices: int | None = None, data: int | None = None,
-              tile: int = 1) -> Mesh:
+              tile: int = 1, gauss: int = 1) -> Mesh:
     devs = jax.devices()
     n = n_devices or len(devs)
     if data is None:
-        data = n // tile
-    assert data * tile == n, f"mesh {data}x{tile} != {n} devices"
-    arr = np.asarray(devs[:n]).reshape(data, tile)
-    return Mesh(arr, ("data", "tile"))
+        data = n // (tile * gauss)
+    assert data * tile * gauss == n, \
+        f"mesh {data}x{tile}x{gauss} != {n} devices"
+    arr = np.asarray(devs[:n]).reshape(data, tile, gauss)
+    return Mesh(arr, ("data", "tile", "gauss"))
 
 
 def replicated(mesh: Mesh) -> NamedSharding:

@@ -38,9 +38,11 @@ from fusionsense_tpu.train.trainer import TrainData, sh_band_mask
 
 
 def _render_local_tiles(gaussians: GaussianState, camera: Camera, cam_idx,
-                        cfg: ExperimentConfig, tap, step, tile_axis: str):
-    """Rasterize only this device's tile block. Returns (local_tiles
-    (T_loc, P, C+1 last=alpha), proj aux)."""
+                        cfg: ExperimentConfig, tap, step, tile_axis: str,
+                        gauss_axis: str = "gauss", n_gauss: int = 1):
+    """Rasterize only this device's tile block — restricted to this
+    device's depth slice of the Gaussians when n_gauss > 1. Returns
+    (local_tiles (T_loc, P, C+1 last=alpha), proj aux)."""
     mc = cfg.model
     rcfg = mc.rasterize
     means, quats, scales, op, colors = activated(
@@ -55,9 +57,23 @@ def _render_local_tiles(gaussians: GaussianState, camera: Camera, cam_idx,
     proj = project_gaussians(means, quats, scales, op, cam_i,
                              near=rcfg.near, far=rcfg.far, eps2d=rcfg.eps2d,
                              antialiased=rcfg.antialiased)
+    valid = proj.valid
+    if n_gauss > 1:
+        # this shard's per-camera log-depth slice: front-to-back order across
+        # shards is exact, so compositing decomposes as out = sum T_{<g} out_g
+        gme = jax.lax.axis_index(gauss_axis)
+        big = jnp.float32(3.4e38)
+        logd = jnp.log(jnp.maximum(proj.depth, 1e-12))
+        lo = jnp.min(jnp.where(valid, logd, big))
+        hi = jnp.max(jnp.where(valid, logd, -big))
+        span = jnp.maximum(hi - lo, 1e-9)
+        f0 = lo + span * gme.astype(jnp.float32) / n_gauss
+        f1 = lo + span * (gme + 1).astype(jnp.float32) / n_gauss
+        in_slice = (logd >= f0) & ((logd < f1) | (gme == n_gauss - 1))
+        valid = valid & in_slice
     mean2d = proj.mean2d + tap
     opc = op * (proj.compensation if rcfg.antialiased else 1.0)
-    coeff = alpha_coefficients(mean2d, proj.conic, opc, proj.valid)
+    coeff = alpha_coefficients(mean2d, proj.conic, opc, valid)
 
     viewdir = normalize(means - cam_i.origin)
     rgb_g = jnp.clip(eval_sh(colors, viewdir, mc.sh_degree) + 0.5, 0.0, None)
@@ -66,7 +82,7 @@ def _render_local_tiles(gaussians: GaussianState, camera: Camera, cam_idx,
 
     bins = bin_gaussians(
         jax.lax.stop_gradient(proj.mean2d),
-        jax.lax.stop_gradient(proj.radius),
+        jax.lax.stop_gradient(jnp.where(valid, proj.radius, 0.0)),
         jax.lax.stop_gradient(proj.depth),
         width=camera.width, height=camera.height, tile_size=rcfg.tile_size,
         tile_capacity=rcfg.tile_capacity,
@@ -103,9 +119,22 @@ def _render_local_tiles(gaussians: GaussianState, camera: Camera, cam_idx,
 
 
 def _sharded_losses(gaussians, camera, data: TrainData, cam_idx, step,
-                    cfg: ExperimentConfig, tap, tile_axis: str):
+                    cfg: ExperimentConfig, tap, tile_axis: str,
+                    gauss_axis: str = "gauss", n_gauss: int = 1):
     local, aux = _render_local_tiles(gaussians, camera, cam_idx, cfg, tap,
-                                     step, tile_axis)
+                                     step, tile_axis,
+                                     gauss_axis=gauss_axis, n_gauss=n_gauss)
+    if n_gauss > 1:
+        # merge depth slices front-to-back: shard g's tile block attenuated
+        # by the product of the nearer shards' transmittances
+        g_all = jax.lax.all_gather(local, gauss_axis, axis=0)  # (G,T,P,C+1)
+        outs = g_all[..., :-1]
+        alphas = jnp.minimum(g_all[..., -1], 1.0 - 1e-7)
+        logt = jnp.log1p(-alphas)                              # (G, T, P)
+        t_excl = jnp.exp(jnp.cumsum(logt, axis=0) - logt)
+        out = jnp.sum(t_excl[..., None] * outs, axis=0)
+        alpha = 1.0 - jnp.exp(jnp.sum(logt, axis=0))
+        local = jnp.concatenate([out, alpha[..., None]], axis=-1)
     # gather full image over the tile axis (grads flow back as slices)
     full = jax.lax.all_gather(local, tile_axis, axis=0, tiled=True)
     grid: TileGrid = aux["grid"]
@@ -132,16 +161,17 @@ def _sharded_losses(gaussians, camera, data: TrainData, cam_idx, step,
         total = total + lc.flatness_lambda * L.flatness_loss(
             gaussians.log_scales, gaussians.alive)
     psnr = -10.0 * jnp.log10(jnp.mean((rgb - image_gt) ** 2) + 1e-10)
-    # The full-image loss is computed redundantly on every tile-axis member
-    # (each all_gathers the same image). Under check_vma=False the transpose
-    # of all_gather is psum_scatter, which SUMS the identical cotangents from
-    # all n_tile members — so grads through the gathered image come out
-    # n_tile x too large, while grads through direct param paths (flatness)
-    # don't. Dividing the loss by n_tile makes psum(grad, tile) reconstruct
-    # the exact per-camera gradient for BOTH paths; the step_fn recovers the
-    # true loss value for metrics with a psum over the tile axis.
+    # The full-image loss is computed redundantly on every (tile, gauss)
+    # member (each all_gathers the same image). Under check_vma=False the
+    # transpose of all_gather is psum_scatter, which SUMS the identical
+    # cotangents from all members — so grads through the gathered image come
+    # out n_tile*n_gauss x too large, while grads through direct param paths
+    # (flatness) don't. Dividing the loss by n_tile*n_gauss makes
+    # psum(grad, (tile, gauss)) reconstruct the exact per-camera gradient
+    # for BOTH paths; the step_fn recovers the true loss value for metrics
+    # with a psum over the same axes.
     n_tile = jax.lax.axis_size(tile_axis)
-    return total / n_tile, (aux["radius"], psnr)
+    return total / (n_tile * n_gauss), (aux["radius"], psnr)
 
 
 def make_sharded_train_step(cfg: ExperimentConfig, camera: Camera,
@@ -160,6 +190,8 @@ def make_sharded_train_step(cfg: ExperimentConfig, camera: Camera,
     """
     adam_groups = adam_groups or DEFAULT_GROUPS
     n_data = mesh.shape["data"]
+    n_gauss = mesh.shape.get("gauss", 1)
+    shard_axes = ("tile", "gauss") if "gauss" in mesh.shape else ("tile",)
 
     def step_fn(gaussians, opt, stats, step, cam_indices):
         cam_idx = cam_indices[0]   # local shard has exactly one camera
@@ -167,15 +199,15 @@ def make_sharded_train_step(cfg: ExperimentConfig, camera: Camera,
         def loss_fn(params, tap):
             g = gaussians.replace(**params)
             return _sharded_losses(g, camera, data, cam_idx, step, cfg, tap,
-                                   "tile")
+                                   "tile", n_gauss=n_gauss)
 
         tap0 = jnp.zeros((gaussians.capacity, 2))
         (loss, (radius, psnr)), grads = jax.value_and_grad(
             loss_fn, argnums=(0, 1), has_aux=True)(gaussians.params(), tap0)
         param_grads, tap_grad = grads
 
-        # gradient reduction: mean over cameras, sum over tile shards
-        tap_grad = jax.lax.pmean(jax.lax.psum(tap_grad, "tile"), "data")
+        # gradient reduction: mean over cameras, sum over tile/gauss shards
+        tap_grad = jax.lax.pmean(jax.lax.psum(tap_grad, shard_axes), "data")
 
         if shard_optimizer:
             # ZeRO-1: reduce-scatter grads over `data`, update the local
@@ -185,7 +217,7 @@ def make_sharded_train_step(cfg: ExperimentConfig, camera: Camera,
             local = C // n_data
 
             def rs(g):
-                g = jax.lax.psum(g, "tile")
+                g = jax.lax.psum(g, shard_axes)
                 return jax.lax.psum_scatter(
                     g, "data", scatter_dimension=0, tiled=True) / n_data
 
@@ -204,21 +236,22 @@ def make_sharded_train_step(cfg: ExperimentConfig, camera: Camera,
                 new_local)
         else:
             param_grads = jax.tree.map(
-                lambda g: jax.lax.pmean(jax.lax.psum(g, "tile"), "data"),
+                lambda g: jax.lax.pmean(jax.lax.psum(g, shard_axes), "data"),
                 param_grads)
             params, opt2 = adam_step(gaussians.params(), param_grads, opt,
                                      step, gaussians.alive,
                                      groups=adam_groups)
         g2 = gaussians.replace(**params)
         # stats: radius is per-camera; accumulate the max over the batch
-        radius = jax.lax.pmax(jax.lax.pmax(radius, "data"), "tile")
+        radius = jax.lax.pmax(jax.lax.pmax(radius, "data"), shard_axes)
         stats2 = accumulate_stats(stats, tap_grad, radius,
                                   camera.width, camera.height)
-        # per-device loss is true_loss/n_tile (see _sharded_losses), so the
-        # tile-psum recovers the true per-camera loss before the camera mean
+        # per-device loss is true_loss/(n_tile*n_gauss) (see _sharded_losses),
+        # so the shard-axes psum recovers the true per-camera loss before the
+        # camera mean
         metrics = {
-            "loss": jax.lax.pmean(jax.lax.psum(loss, "tile"), "data"),
-            "psnr": jax.lax.pmean(jax.lax.pmean(psnr, "data"), "tile"),
+            "loss": jax.lax.pmean(jax.lax.psum(loss, shard_axes), "data"),
+            "psnr": jax.lax.pmean(jax.lax.pmean(psnr, "data"), shard_axes),
         }
         return g2, opt2, stats2, metrics
 

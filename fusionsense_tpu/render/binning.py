@@ -8,8 +8,10 @@ sort over (tile, depth) keys) with a shape-static TPU design:
    tiles anchored at its bbox corner — enumerated with adds/compares only
    (no integer div/mod, which are slow on the VPU),
 2. every (gaussian, window-slot) pair gets ONE int32 key
-   `tile_id << depth_bits | depth_rank`; a single argsort orders pairs by
-   tile then by depth (depth rank comes from a cheap N-element argsort),
+   `tile_id << 16 | depth_q` where depth_q is the 16-bit log-quantized
+   depth (compositing only needs near-to-far order, not a perfect
+   permutation — quantization replaces an N-element argsort + scatter),
+   and a single fused sort orders pairs by tile then by depth,
 3. per-tile segments located by searchsorted; each tile keeps its first
    TILE_CAPACITY (nearest) entries.
 
@@ -61,16 +63,24 @@ def bin_gaussians(
     win = max(1, int(math.isqrt(max_tiles_per_gaussian)))
     C = win * win
 
-    depth_bits = max(1, (N - 1).bit_length())   # depth rank fits below tile id
+    depth_bits = 16
     assert (num_tiles + 1) << depth_bits < 2 ** 31, (
-        "key overflow: reduce capacity or tiles (int64 path not implemented)")
+        "key overflow: reduce tiles (int64 path not implemented)")
 
     valid = radius > 0
 
-    # ---- depth ranks (near -> far) ----------------------------------------
-    order = jnp.argsort(jnp.where(valid, depth, jnp.inf))
-    rank = jnp.zeros((N,), jnp.int32).at[order].set(
-        jnp.arange(N, dtype=jnp.int32))
+    # ---- quantized depth keys (near -> far) --------------------------------
+    # 16-bit log-space quantization over the valid depth range; equal-bucket
+    # ties compose in arbitrary order, which is fine at ~1e-4 relative
+    # depth resolution
+    big = jnp.float32(jnp.finfo(jnp.float32).max)
+    d_safe = jnp.maximum(depth, 1e-12)
+    log_d = jnp.log(jnp.where(valid, d_safe, big))
+    lo = jnp.min(log_d)
+    hi = jnp.max(jnp.where(valid, log_d, -big))
+    span = jnp.maximum(hi - lo, 1e-12)
+    n_q = (1 << depth_bits) - 1
+    rank = jnp.clip(((log_d - lo) / span * n_q), 0, n_q).astype(jnp.int32)
 
     # ---- static-window pair expansion -------------------------------------
     tx0 = jnp.clip(jnp.floor((mean2d[:, 0] - radius) / tile_size), 0, tiles_x - 1).astype(jnp.int32)
