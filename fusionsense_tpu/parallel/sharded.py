@@ -1,13 +1,22 @@
 """Multi-chip SPMD training step: data-parallel cameras x tile-parallel
-rasterization under shard_map.
+rasterization x depth-sliced Gaussian shards under shard_map.
 
-Design (SURVEY.md §5, §7.1): the per-tile compositing — the FLOPs-dominant
-stage — shards along a "tile" mesh axis; cameras shard along "data". The
-composited tile block is all-gathered over ICI to form the full image for
-the windowed losses (SSIM crosses tile borders), and parameter gradients
-are psum-reduced over both axes — the SPMD equivalent of the reference's
-DDP all-reduce (reference dn_splatter/dn_pipeline.py:161-167), but over
-image tiles as well as batch.
+Design (SURVEY.md §5, §7.1, §7.3 hard-part 5):
+- "tile": the per-tile compositing — the FLOPs-dominant stage — shards
+  along image tiles; the composited tile block all_gathers over ICI to
+  form the full image for the windowed losses (SSIM crosses tile borders).
+- "gauss": alpha compositing does not commute across arbitrary Gaussian
+  shards, but it decomposes EXACTLY across a per-camera depth partition:
+  shard g masks to its log-depth slice, and slices merge front-to-back
+  with out = sum_g T_{<g} out_g, log T = sum_g log T_g. No resharding of
+  the (replicated) store; each shard contributes its own per-tile
+  capacity, so effective capacity is G x K.
+- "data": cameras; parameter gradients psum over the shard axes and pmean
+  over data — the SPMD equivalent of the reference's DDP all-reduce
+  (reference dn_splatter/dn_pipeline.py:161-167), but over tiles and
+  depth slices as well as batch. Optional ZeRO-1: gradients
+  reduce-scatter over `data` along the Gaussian-slot axis, Adam moments
+  live sharded, fresh params all_gather back.
 
 Projection/binning stay replicated: they are O(N) vector math and a sort,
 dwarfed by the O(T*P*K) compositing that does shard.
