@@ -180,3 +180,48 @@ def test_big_gaussian_truncation_reported():
     colors = jnp.array([[1.0, 1.0, 1.0]])
     out = rasterize(means, quats, scales, opac, colors, cam, cfg)
     assert int(out.truncated) > 0
+
+
+def test_binning_equal_depths_and_empty():
+    """Quantized-depth keys: all-equal depths collapse to one bucket
+    (span guard) and a no-valid-Gaussian scene bins cleanly."""
+    from fusionsense_tpu.render.binning import bin_gaussians
+
+    n = 32
+    mean2d = jnp.stack([jnp.linspace(4, 60, n), jnp.full((n,), 24.0)], -1)
+    radius = jnp.full((n,), 3.0)
+    depth = jnp.full((n,), 2.0)          # identical depths
+    bins = bin_gaussians(mean2d, radius, depth, width=64, height=48,
+                         tile_size=16, tile_capacity=16,
+                         max_tiles_per_gaussian=4)
+    assert int(bins.mask.sum()) > 0
+    idx = np.asarray(bins.indices)
+    assert idx.max() < n
+    # every valid slot references a real gaussian exactly once per tile
+    for t in range(idx.shape[0]):
+        row = idx[t][np.asarray(bins.mask[t])]
+        assert len(np.unique(row)) == len(row)
+
+    # all culled: radius 0 everywhere
+    bins0 = bin_gaussians(mean2d, jnp.zeros((n,)), depth, width=64,
+                          height=48, tile_size=16, tile_capacity=16,
+                          max_tiles_per_gaussian=4)
+    assert int(bins0.mask.sum()) == 0
+    assert int(bins0.overflow) == 0
+
+
+def test_binning_depth_order_preserved_within_tile():
+    """Distinct depths keep exact near-to-far order under quantization."""
+    from fusionsense_tpu.render.binning import bin_gaussians
+
+    n = 20
+    rng = np.random.RandomState(3)
+    depths = jnp.asarray(rng.uniform(0.5, 8.0, n).astype(np.float32))
+    mean2d = jnp.tile(jnp.asarray([[8.0, 8.0]]), (n, 1))  # all in tile 0
+    radius = jnp.full((n,), 2.0)
+    bins = bin_gaussians(mean2d, radius, depths, width=64, height=48,
+                         tile_size=16, tile_capacity=32,
+                         max_tiles_per_gaussian=4)
+    row = np.asarray(bins.indices[0])[np.asarray(bins.mask[0])]
+    d = np.asarray(depths)[row]
+    assert np.all(np.diff(d) >= 0), d
