@@ -33,7 +33,12 @@ def _load():
         return _lib
     if not _LIB_PATH.exists():
         _build()
-    lib = ctypes.CDLL(str(_LIB_PATH))
+    try:
+        lib = ctypes.CDLL(str(_LIB_PATH))
+    except OSError:
+        # stale binary for a different arch/libc — rebuild from source
+        _build()
+        lib = ctypes.CDLL(str(_LIB_PATH))
     u32p = np.ctypeslib.ndpointer(np.uint32, flags="C")
     f32p = np.ctypeslib.ndpointer(np.float32, flags="C")
     i32p = np.ctypeslib.ndpointer(np.int32, flags="C")
@@ -59,8 +64,11 @@ def fh_segment(feats: np.ndarray, src: np.ndarray, dst: np.ndarray,
     dst = np.ascontiguousarray(dst, np.uint32)
     n, d = feats.shape
     labels = np.empty(n, np.int32)
-    w_ptr = (np.ascontiguousarray(edge_w, np.float32).ctypes.data
-             if edge_w is not None else None)
+    # keep the converted array alive past the C call (ctypes.data of a
+    # temporary would dangle when edge_w needs conversion)
+    ew = (np.ascontiguousarray(edge_w, np.float32)
+          if edge_w is not None else None)
+    w_ptr = ew.ctypes.data if ew is not None else None
     lib.fh_segment(n, d, len(src), feats, src, dst, w_ptr,
                    np.float32(k), min_size, labels)
     return labels.astype(np.int64)
@@ -77,8 +85,9 @@ def cutpursuit(feats: np.ndarray, src: np.ndarray, dst: np.ndarray,
     dst = np.ascontiguousarray(dst, np.uint32)
     n, d = feats.shape
     labels = np.empty(n, np.int32)
-    w_ptr = (np.ascontiguousarray(edge_w, np.float32).ctypes.data
-             if edge_w is not None else None)
+    ew = (np.ascontiguousarray(edge_w, np.float32)
+          if edge_w is not None else None)
+    w_ptr = ew.ctypes.data if ew is not None else None
     lib.cutpursuit(n, d, len(src), feats, src, dst, w_ptr,
                    np.float32(reg), max_iter, labels)
     return labels.astype(np.int64)

@@ -85,8 +85,10 @@ def rgb_loss(pred: jax.Array, gt: jax.Array, mask: jax.Array | None = None,
         pred = pred * mask
         gt = gt * mask
     l1 = jnp.mean(jnp.abs(pred - gt))
-    dssim = (1.0 - ssim(pred, gt)) / 2.0
-    return (1 - ssim_lambda) * l1 + ssim_lambda * dssim
+    # splatfacto uses simloss = 1 - ssim (NOT the (1-ssim)/2 DSSIM form);
+    # match it exactly so ssim_lambda=0.2 carries the reference's weight.
+    simloss = 1.0 - ssim(pred, gt)
+    return (1 - ssim_lambda) * l1 + ssim_lambda * simloss
 
 
 # -------------------------------------------------------------- depth ------

@@ -93,12 +93,18 @@ def compute_losses(
     total = L.rgb_loss(out.rgb, image_gt, mask, lc.ssim_lambda)
     parts = {"rgb": total}
 
+    # the reference floors the GT image at 10/255 before edge-aware
+    # depth/smoothness weighting (dn_model.py get_loss_dict), so dark
+    # pixels don't produce spurious strong edges
+    image_floor = jnp.maximum(image_gt, 10.0 / 255.0)
+
     def depth_term(gt_depth):
         valid = (gt_depth > lc.depth_tolerance).astype(jnp.float32)
         if mask is not None:
             valid = valid * mask[..., 0]
         if lc.depth_loss == "EdgeAwareLogL1":
-            return L.depth_edge_aware_logl1(out.depth, gt_depth, image_gt, valid)
+            return L.depth_edge_aware_logl1(out.depth, gt_depth, image_floor,
+                                            valid)
         return L.DEPTH_LOSSES[lc.depth_loss](out.depth, gt_depth, valid)
 
     if data.sensor_depths is not None and lc.sensor_depth_lambda > 0:
@@ -111,7 +117,7 @@ def compute_losses(
         total = total + lc.mono_depth_lambda * d
 
     if lc.smooth_lambda > 0:
-        sm = (L.edge_aware_tv(out.depth, image_gt)
+        sm = (L.edge_aware_tv(out.depth, image_floor)
               if lc.use_depth_smooth_edge_aware else L.tv_loss(out.depth))
         parts["smooth"] = sm
         total = total + lc.smooth_lambda * sm
