@@ -30,7 +30,9 @@ from fusionsense_tpu.render.rasterize import (
     gaussian_flat_normals, rasterize,
 )
 from fusionsense_tpu.train import losses as L
-from fusionsense_tpu.train.optim import adam_step, DEFAULT_GROUPS, init_adam
+from fusionsense_tpu.train.optim import (
+    DEFAULT_GROUPS, GroupSpec, adam_step, init_adam,
+)
 
 
 @chex.dataclass
@@ -182,9 +184,13 @@ def make_train_chunk(cfg: ExperimentConfig, camera: Camera, data: TrainData,
     adam_groups = adam_groups or DEFAULT_GROUPS
     use_cam_opt = cfg.train.camera_opt
 
+    cam_group = {"cam_delta": GroupSpec(cfg.train.camera_opt_lr,
+                                        every_k=cfg.train.camera_opt_every_k,
+                                        eps=1e-8)}
+
     def body(carry, cam_idx):
         gaussians, opt, cam_state, stats, step = carry
-        cam_deltas, cam_m, cam_v, cam_acc = cam_state
+        cam_deltas, cam_opt = cam_state
 
         use_absgrad = cfg.model.rasterize.backend == "pallas"
 
@@ -209,22 +215,20 @@ def make_train_chunk(cfg: ExperimentConfig, camera: Camera, data: TrainData,
         gaussians2 = gaussians.replace(**params)
 
         if use_cam_opt:
-            # accumulated Adam on the (V, 6) pose deltas
-            tc = cfg.train
-            cam_acc = cam_acc + delta_grads
-            do = (step + 1) % tc.camera_opt_every_k == 0
-            m2 = 0.9 * cam_m + 0.1 * cam_acc
-            v2 = 0.999 * cam_v + 0.001 * cam_acc * cam_acc
-            upd = tc.camera_opt_lr * m2 / (jnp.sqrt(v2) + 1e-15)
-            cam_deltas = jnp.where(do, cam_deltas - upd, cam_deltas)
-            cam_m = jnp.where(do, m2, cam_m)
-            cam_v = jnp.where(do, v2, cam_v)
-            cam_acc = jnp.where(do, jnp.zeros_like(cam_acc), cam_acc)
+            # accumulated Adam (bias-corrected, via the shared optimizer
+            # path) on the (V, 6) SO3xR3 pose deltas — reference semantics:
+            # nerfstudio camera_opt group, grad accumulation 100
+            # (dn_config.py:29)
+            cam_p, cam_opt = adam_step(
+                {"cam_delta": cam_deltas}, {"cam_delta": delta_grads},
+                cam_opt, step, jnp.ones(cam_deltas.shape[0], bool),
+                groups=cam_group)
+            cam_deltas = cam_p["cam_delta"]
 
         stats2 = accumulate_stats(stats, tap_grad, aux["radius"],
                                   camera.width, camera.height)
         metrics = {"loss": loss, "psnr": aux["psnr"], "overflow": aux["overflow"]}
-        return (gaussians2, opt2, (cam_deltas, cam_m, cam_v, cam_acc),
+        return (gaussians2, opt2, (cam_deltas, cam_opt),
                 stats2, step + 1), metrics
 
     @jax.jit
@@ -268,7 +272,7 @@ class Trainer:
         self.auto_capacity = cfg.train.auto_capacity
         nv = data.images.shape[0]
         z6 = jnp.zeros((nv, 6))
-        self.cam_state = (z6, z6, z6, z6)   # deltas, m, v, acc
+        self.cam_state = (z6, init_adam({"cam_delta": z6}))
         self._train_chunk = make_train_chunk(cfg, camera, data, adam_groups)
         # seed folded inside jit: jax.random.PRNGKey on the host is an
         # eager device op (a full round trip on a networked TPU)

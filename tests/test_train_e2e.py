@@ -140,3 +140,11 @@ def test_camera_opt_recovers_pose_noise(fixture_scene):
     deltas = np.asarray(tr.cam_state[0])
     assert np.abs(deltas).max() > 1e-5, "camera deltas never moved"
     assert np.isfinite(hist[-1]["loss"])
+    # the learned deltas must actually improve camera alignment: the
+    # corrected viewmats should be closer to the true ones than the
+    # perturbed viewmats were
+    corrected = apply_se3_delta(bad_cams.viewmat, jnp.asarray(deltas))
+    err_before = float(jnp.linalg.norm(bad_cams.viewmat - cams.viewmat))
+    err_after = float(jnp.linalg.norm(corrected - cams.viewmat))
+    assert err_after < err_before, (
+        f"pose error grew: {err_before:.5f} -> {err_after:.5f}")
