@@ -28,7 +28,29 @@ def build_parser():
                    help="use the offline fixture VLM (no network)")
     p.add_argument("--parts", nargs="*", default=None,
                    help="bypass the VLM with an explicit ranked part list")
+    p.add_argument("--glip-checkpoint", default=None,
+                   help="torch GLIP Swin-L .pth; enables the real grounded "
+                        "detector for part segmentation")
+    p.add_argument("--glip-vocab", default=None,
+                   help="bert-base-uncased vocab.txt for the tokenizer")
+    p.add_argument("--glip-threshold", type=float, default=0.5)
     return p
+
+
+def _detector(args):
+    """Real GLIP-class detector when a checkpoint is supplied
+    (reference behavior: PartSlip/src/glip_inference.py:15-28), else None
+    (geometric fallback segmentation)."""
+    if not args.glip_checkpoint:
+        return None
+    from fusionsense_tpu.detection import GLIPConfig, GLIPPredictor
+    from fusionsense_tpu.detection.convert import convert_glip_checkpoint
+    from fusionsense_tpu.detection.tokenizer import WordPieceTokenizer
+
+    params = convert_glip_checkpoint(args.glip_checkpoint)
+    tok = WordPieceTokenizer.from_vocab_file(args.glip_vocab)
+    return GLIPPredictor(params, tok, GLIPConfig(),
+                         confidence_threshold=args.glip_threshold)
 
 
 def _provider(args):
@@ -60,6 +82,7 @@ def main(argv=None):
 
     res = next_best_touches(
         args.mesh, args.high_grad, part_provider=provider,
+        detector=_detector(args),
         reference_image=args.image, quota=args.quota,
         per_part=args.per_part, out_path=args.output)
     print(f"object: {res.classification}; parts: {res.part_names}")
