@@ -183,9 +183,9 @@ def _sharded_losses(gaussians, camera, data: TrainData, cam_idx, step,
     return total / (n_tile * n_gauss), (aux["radius"], psnr)
 
 
-def make_sharded_train_step(cfg: ExperimentConfig, camera: Camera,
-                            data: TrainData, mesh: Mesh, adam_groups=None,
-                            shard_optimizer: bool = False):
+def _build_sharded_step(cfg: ExperimentConfig, camera: Camera,
+                        data: TrainData, mesh: Mesh, adam_groups=None,
+                        shard_optimizer: bool = False):
     """One DP x tile-parallel training step over `mesh`.
 
     cam_indices: (n_data,) int32 — one camera per data shard.
@@ -290,4 +290,38 @@ def make_sharded_train_step(cfg: ExperimentConfig, camera: Camera,
         # reductions exactly the mean-over-cameras gradient.
         check_vma=False,
     )
+    return sharded, opt_spec
+
+
+def make_sharded_train_step(cfg: ExperimentConfig, camera: Camera,
+                            data: TrainData, mesh: Mesh, adam_groups=None,
+                            shard_optimizer: bool = False):
+    sharded, _ = _build_sharded_step(cfg, camera, data, mesh, adam_groups,
+                                     shard_optimizer)
     return jax.jit(sharded)
+
+
+def make_sharded_train_chunk(cfg: ExperimentConfig, camera: Camera,
+                             data: TrainData, mesh: Mesh, adam_groups=None,
+                             shard_optimizer: bool = False):
+    """Fuse `n` sharded steps into ONE dispatch via lax.scan — the
+    multi-chip analog of trainer.make_train_chunk.
+
+    Returns (chunk_fn, opt_spec): chunk_fn(gaussians, opt, stats, step0,
+    cam_indices (n, n_data)) -> (gaussians, opt, stats, metrics (n,)-dicts).
+    """
+    sharded, opt_spec = _build_sharded_step(cfg, camera, data, mesh,
+                                            adam_groups, shard_optimizer)
+
+    @jax.jit
+    def chunk_fn(gaussians, opt, stats, step0, cam_indices):
+        def body(carry, cams):
+            g, o, st, step = carry
+            g, o, st, metrics = sharded(g, o, st, step, cams)
+            return (g, o, st, step + 1), metrics
+
+        (g, o, st, _), metrics = jax.lax.scan(
+            body, (gaussians, opt, stats, step0), cam_indices)
+        return g, o, st, metrics
+
+    return chunk_fn, opt_spec

@@ -147,6 +147,48 @@ def test_zero1_sharded_optimizer_matches(scene):
                                atol=3e-5, rtol=1e-3)
 
 
+def test_sharded_trainer_end_to_end_matches_single_device(scene):
+    """Full multi-chip training (chunked scan + ADC refine + ZeRO-1 under
+    the mesh) reaches single-device PSNR (VERDICT round-1 item 5; reference
+    DDP behavior dn_splatter/dn_pipeline.py:161-167)."""
+    from fusionsense_tpu.gaussians.adc import ADCConfig
+    from fusionsense_tpu.parallel.trainer import ShardedTrainer
+    from fusionsense_tpu.train.trainer import Trainer
+
+    cams, data, rcfg = scene
+    cfg = ExperimentConfig(
+        model=ModelConfig(sh_degree=1, rasterize=rcfg, capacity=512,
+                          binary_opacities=False),
+        train=TrainConfig(iterations=500, scan_chunk=50, log_every=100,
+                          auto_capacity=False,
+                          adc=ADCConfig(warmup=100, refine_every=100,
+                                        stop_split_at=400,
+                                        reset_alpha_every=10_000)),
+        loss=LossConfig(normal_lambda=0.1, sensor_depth_lambda=0.2,
+                        smooth_lambda=0.01, flatness_lambda=0.01),
+    )
+    key = jax.random.PRNGKey(3)
+    pts, rgb, _ = sphere_points(n=150, radius=0.5)
+    pts = pts + 0.03 * jax.random.normal(key, pts.shape)
+    init = init_from_points(pts, jnp.full_like(rgb, 0.5), capacity=512,
+                            sh_degree=1)
+
+    mesh = make_mesh(8, data=4, tile=2)
+    st = ShardedTrainer(cfg, cams, data, init, mesh, shard_optimizer=True)
+    hist_sh = st.run(log=None)
+
+    tr = Trainer(cfg, cams, data, init)
+    hist_1 = tr.run(log=None)
+
+    psnr_sh = hist_sh[-1]["psnr"]
+    psnr_1 = hist_1[-1]["psnr"]
+    assert np.isfinite(psnr_sh) and np.isfinite(psnr_1)
+    assert psnr_sh > psnr_1 - 0.2, (
+        f"multi-chip trainer lags single-device: {psnr_sh} vs {psnr_1}")
+    # refinement ran under the mesh and changed the population
+    assert int(st.gaussians.num_alive) != 150
+
+
 def test_gauss_depth_sliced_matches_single_device(scene):
     """data x tile x gauss (2x2x2) depth-sliced sharding reproduces the
     single-device update and gradient scale exactly (the compositing
