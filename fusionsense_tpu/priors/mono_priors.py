@@ -95,6 +95,22 @@ class NormalsFromDepth:
         return np.asarray(normals_from_depth(jnp.asarray(depth), cam))
 
 
+def default_normal_model(checkpoint: str | Path | None = None
+                         ) -> NormalModel | None:
+    """The reference's default normal prior is DSINE (orchestrator
+    scripts/train.py:101). Returns the TPU-native DSINE predictor when a
+    checkpoint is available (path arg or $DSINE_CHECKPOINT), else None
+    (generate_priors falls back to normals-from-depth)."""
+    import os
+
+    path = checkpoint or os.environ.get("DSINE_CHECKPOINT")
+    if not path or not Path(path).exists():
+        return None
+    from fusionsense_tpu.priors.dsine import DSinePredictor
+
+    return DSinePredictor.from_checkpoint(str(path))
+
+
 def generate_priors(
     scene_dir,
     depth_model: DepthModel | None = None,
