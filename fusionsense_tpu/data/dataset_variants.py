@@ -27,6 +27,7 @@ import math
 from pathlib import Path
 
 import numpy as np
+import jax.numpy as jnp
 
 from fusionsense_tpu.core.cameras import make_camera
 from fusionsense_tpu.data.dataparser import (
@@ -97,18 +98,150 @@ def parse_replica(cfg: DataParserConfig, test_every: int = 8) -> ParsedScene:
 
 # --------------------------------------------------------------- mushroom --
 
+def _mushroom_fill_depths(scene: ParsedScene, base: Path,
+                          use_faro: bool = False):
+    """Sensor depth dir convention: depth/ next to images/; the faro
+    reference scan (reference mushroom_dataparser.py:72-73,128-130) swaps
+    in reference_depth/ when requested and present."""
+    depth_dir = base / ("reference_depth" if use_faro else "depth")
+    if not depth_dir.exists() and use_faro:
+        raise FileNotFoundError(
+            f"faro reference depths not found at {depth_dir} (the reference "
+            "downloads them; this environment is air-gapped)")
+    if depth_dir.exists() and all(p is None for p in scene.depth_paths):
+        scene.depth_paths = [
+            depth_dir / Path(p).with_suffix(".png").name
+            for p in scene.image_paths]
+
+
 def parse_mushroom(cfg: DataParserConfig, sensor: str = "kinect",
-                   capture: str = "long_capture") -> ParsedScene:
-    base = Path(cfg.data_dir) / sensor / capture
-    sub = DataParserConfig(**{**cfg.__dict__, "data_dir": str(base)})
+                   eval_mode: str = "within",
+                   use_faro_depths: bool = False) -> ParsedScene:
+    """MuSHRoom two-capture protocol (reference mushroom_dataparser.py:
+    64-74,278-300): train on long_capture; eval 'within' = the long
+    capture's held-out frames (test_filenames / every-10th), 'with' = the
+    SHORT capture's frames evaluated against the long-capture model,
+    'all' = both."""
+    root = Path(cfg.data_dir) / sensor
+    long_dir = root / "long_capture"
+    sub = DataParserConfig(**{**cfg.__dict__, "data_dir": str(long_dir)})
     scene = parse_transforms(sub)
-    # sensor depth dir convention: depth/ next to images/
-    if all(p is None for p in scene.depth_paths):
+    _mushroom_fill_depths(scene, long_dir, use_faro_depths)
+    if len(scene.test_idx) == 0:
+        scene.test_idx = np.arange(len(scene.image_paths),
+                                   dtype=np.int32)[::10]
+        scene.train_idx = np.array(
+            [i for i in range(len(scene.image_paths))
+             if i not in set(scene.test_idx.tolist())], np.int32)
+
+    short_dir = root / "short_capture"
+    if eval_mode in ("with", "all") and short_dir.exists():
+        ssub = DataParserConfig(**{**cfg.__dict__, "data_dir": str(short_dir),
+                                   "auto_center": False, "auto_scale": False})
+        short = parse_transforms(ssub)
+        _mushroom_fill_depths(short, short_dir, use_faro_depths)
+        n_long = len(scene.image_paths)
+        # short-capture poses live in the same world frame; apply the long
+        # capture's normalization so both splits share scene coords
+        vm = np.asarray(short.cameras.viewmat).copy()
+        c2w = np.linalg.inv(vm)
+        c2w[:, :3, 3] = (c2w[:, :3, 3] + scene.translate) * scene.scale
+        short_cams = short.cameras.replace(
+            viewmat=jnp.asarray(np.linalg.inv(c2w), np.float32))
+        scene.cameras = scene.cameras.replace(
+            viewmat=jnp.concatenate(
+                [scene.cameras.viewmat, short_cams.viewmat]),
+            fx=jnp.concatenate([scene.cameras.fx, short_cams.fx]),
+            fy=jnp.concatenate([scene.cameras.fy, short_cams.fy]),
+            cx=jnp.concatenate([scene.cameras.cx, short_cams.cx]),
+            cy=jnp.concatenate([scene.cameras.cy, short_cams.cy]))
+        scene.image_paths += short.image_paths
+        scene.depth_paths += short.depth_paths
+        scene.normal_paths += short.normal_paths
+        scene.mask_paths += short.mask_paths
+        scene.mono_depth_paths += short.mono_depth_paths
+        short_idx = np.arange(n_long, n_long + len(short.image_paths),
+                              dtype=np.int32)
+        if eval_mode == "with":
+            scene.test_idx = short_idx
+        else:
+            scene.test_idx = np.concatenate([scene.test_idx, short_idx])
+        scene.val_idx = scene.test_idx
+    return scene
+
+
+# -------------------------------------------------------------- scannetpp --
+
+def parse_scannetpp(cfg: DataParserConfig, sequence: str = "",
+                    mode: str = "dslr", test_every: int = 8) -> ParsedScene:
+    """ScanNet++ layouts (reference scannetpp_dataparser.py:95-168):
+    - dslr:   <data>/<seq>/dslr/undistort_colmap/<seq>/{colmap, images,
+              masks} (pre-undistorted COLMAP export) with the test split
+              from <data>/<seq>/dslr/train_test_lists.json,
+    - iphone: <data>/<seq>/iphone/{colmap, rgb, rgb_masks, depth}.
+    Frames with COLMAP OPENCV/OPENCV_FISHEYE distortion parameters are
+    undistorted once into an `undistorted/` cache (data/undistort.py).
+    """
+    from fusionsense_tpu.data.colmap import read_cameras_txt, read_images_txt
+    from fusionsense_tpu.data.undistort import undistort_to_cache
+
+    root = Path(cfg.data_dir)
+    if sequence:
+        root = root / sequence
+    base = root / mode
+    if mode == "dslr":
+        inner = base / "undistort_colmap"
+        if inner.exists():
+            seqs = [p for p in inner.iterdir() if p.is_dir()]
+            inner = inner / sequence if (inner / sequence).exists() else seqs[0]
+        else:
+            inner = base
+        colmap_dir = inner / "colmap"
+        images_dir = inner / "images"
+        mask_dir = inner / "masks"
+        depth_dir = inner / "depth"
+    else:
+        colmap_dir = base / "colmap"
+        images_dir = base / "rgb"
+        mask_dir = base / "rgb_masks"
         depth_dir = base / "depth"
-        if depth_dir.exists():
-            scene.depth_paths = [
-                depth_dir / Path(p).with_suffix(".png").name
-                for p in scene.image_paths]
+
+    cams = read_cameras_txt(colmap_dir / "cameras.txt")
+    images = read_images_txt(colmap_dir / "images.txt")
+    cam0 = cams[images[0]["camera_id"]]
+    fx, fy, cx, cy = cam0.intrinsics()
+    image_paths = [images_dir / im["name"] for im in images]
+
+    # undistort once if the camera model carries distortion
+    dist = np.asarray(cam0.params[4:], np.float64)
+    if len(dist) and np.any(np.abs(dist) > 1e-12):
+        K = np.array([[fx, 0, cx], [0, fy, cy], [0, 0, 1]])
+        model = ("OPENCV_FISHEYE" if cam0.model == "OPENCV_FISHEYE"
+                 else cam0.model)
+        image_paths = undistort_to_cache(image_paths, K, dist, model,
+                                         images_dir.parent / "undistorted")
+
+    c2w = np.stack([np.linalg.inv(im["w2c"]) for im in images])
+    depth_paths = ([depth_dir / Path(im["name"]).with_suffix(".png").name
+                    for im in images] if depth_dir.exists() else None)
+    mask_paths = ([mask_dir / Path(im["name"]).name for im in images]
+                  if mask_dir.exists() else None)
+    scene = _build_scene(c2w, fx, fy, cx, cy, cam0.width, cam0.height,
+                         image_paths, depth_paths, cfg,
+                         mask_paths=mask_paths, test_every=test_every)
+
+    # dslr protocol: explicit test list (scannetpp_dataparser.py:135-147)
+    split_file = base / "train_test_lists.json"
+    if split_file.exists():
+        with open(split_file) as f:
+            lists = json.load(f)
+        test_names = set(lists.get("test", []))
+        names = [im["name"] for im in images]
+        test = np.array([i for i, n in enumerate(names) if n in test_names],
+                        np.int32)
+        train = np.array([i for i, n in enumerate(names)
+                          if n not in test_names], np.int32)
+        scene.train_idx, scene.test_idx, scene.val_idx = train, test, test
     return scene
 
 
@@ -201,6 +334,7 @@ DATASETS = {
     "nerfstudio": lambda cfg, **kw: parse_transforms(cfg),
     "replica": parse_replica,
     "mushroom": parse_mushroom,
+    "scannetpp": parse_scannetpp,
     "colmap": parse_colmap,
     "sdfstudio": parse_sdfstudio,
     "nrgbd": parse_nrgbd,

@@ -66,9 +66,11 @@ def write_synthetic_scene(
         Image.fromarray(img).save(data_dir / "images" / name)
         d_mm = (np.asarray(depth) * 1000).astype(np.uint16)
         Image.fromarray(d_mm).save(data_dir / "depths" / name)
-        # normals: world -> opencv camera frame, stored as npy
+        # normals stored in OPENGL camera frame, the reference's convention
+        # for mono-normal artifacts (dn_dataset.py:207-217; loader flips
+        # GL->CV then lifts to world)
         w2c = np.asarray(cam_i.viewmat)
-        n_cam = np.asarray(nrm) @ w2c[:3, :3].T
+        n_cam = (np.asarray(nrm) @ w2c[:3, :3].T) * np.array([1, -1, -1.0])
         np.save(data_dir / "normals" / (name + ".npy"), n_cam)
         Image.fromarray((np.asarray(mask) * 255).astype(np.uint8)).save(
             data_dir / "masks" / name)
@@ -116,6 +118,125 @@ def write_synthetic_scene(
         # sensor -z normal should face outward (+x): rotate z->-x
         T[:3, :3] = np.array([[0, 0, -1.0], [0, 1.0, 0], [1.0, 0, 0]]).T
         T[:3, 3] = [radius, 0.0, 0.0]
+        with open(tdir / "gelsight_transform.json", "w") as f:
+            json.dump({"gel_scale": gel_scale,
+                       "frames": [{"file_path": "patch_0.pcd",
+                                   "transform_matrix": T.tolist()}]}, f)
+
+    with open(data_dir / "transforms.json", "w") as f:
+        json.dump(meta, f)
+    return data_dir
+
+
+def write_blob_scene(
+    data_dir,
+    n_views: int = 9,
+    width: int = 128,
+    height: int = 96,
+    focal: float = 110.0,
+    base: float = 0.4,
+    n_gt: int = 4000,
+    depth_noise: float = 0.004,
+    with_touches: bool = True,
+    seed: int = 0,
+):
+    """Realistic-capture regression fixture: 9 posed views of a bumpy
+    star-convex object with procedural texture, NOISY 16-bit sensor depth,
+    masks, a sparse noisy seed pcd, one tactile patch, and the dense GT
+    surface points (`gt_points.ply`) for chamfer evaluation — the in-repo
+    analog of the reference's canonical transparent_bunny run
+    (reference README.md:131-145, scripts/train.py:274-327).
+    """
+    from fusionsense_tpu.data.synthetic import (
+        blob_depth_normals, blob_points,
+    )
+
+    data_dir = Path(data_dir)
+    (data_dir / "images").mkdir(parents=True, exist_ok=True)
+    for sub in ("depths", "normals", "masks"):
+        (data_dir / sub).mkdir(exist_ok=True)
+
+    cams = ring_cameras(n_views=n_views, width=width, height_px=height,
+                        focal=focal)
+    pts, rgb, normals = blob_points(n=n_gt, base=base, seed=seed)
+    gt = init_from_points(pts, rgb, capacity=max(4096, n_gt * 2), sh_degree=1,
+                          seed_normals=normals, init_opacity=0.97)
+    rcfg = RasterizeConfig(tile_size=16, tile_capacity=192,
+                           max_tiles_per_gaussian=16, tile_chunk=16,
+                           sh_degree=1)
+    m, q, s, o, c = activated(gt)
+
+    rng = np.random.RandomState(seed)
+    flip = np.diag([1.0, -1.0, -1.0, 1.0])
+    frames = []
+    for i in range(n_views):
+        cam_i = cams.index(i)
+        out = rasterize(m, q, s, o, c, cam_i, rcfg)
+        depth, nrm, mask = blob_depth_normals(cam_i, base=base)
+        name = f"frame_{i:05d}.png"
+
+        img = np.asarray(jnp.clip(out.rgb, 0, 1) * 255).astype(np.uint8)
+        Image.fromarray(img).save(data_dir / "images" / name)
+        # sensor-like depth: multiplicative speckle + mm quantization
+        d = np.asarray(depth)
+        d_noisy = d * (1.0 + depth_noise * rng.randn(*d.shape))
+        d_mm = np.clip(d_noisy * 1000, 0, 65535).astype(np.uint16)
+        Image.fromarray(d_mm).save(data_dir / "depths" / name)
+        w2c = np.asarray(cam_i.viewmat)
+        n_cam = (np.asarray(nrm) @ w2c[:3, :3].T) * np.array([1, -1, -1.0])
+        np.save(data_dir / "normals" / (name + ".npy"), n_cam)
+        Image.fromarray((np.asarray(mask) * 255).astype(np.uint8)).save(
+            data_dir / "masks" / name)
+
+        c2w_gl = np.linalg.inv(w2c) @ flip
+        frames.append({
+            "file_path": f"images/{name}",
+            "depth_file_path": f"depths/{name}",
+            "normal_file_path": f"normals/{name}.npy",
+            "mask_file_path": f"masks/{name}",
+            "transform_matrix": c2w_gl.tolist(),
+            "fl_x": focal, "fl_y": focal,
+            "cx": width / 2, "cy": height / 2, "w": width, "h": height,
+        })
+
+    # sparse noisy seed pcd (what a 9-view SfM/backprojection would give)
+    step = max(1, n_gt // 600)
+    seed_pts = np.asarray(pts)[::step]
+    seed_pts = seed_pts + rng.randn(*seed_pts.shape).astype(np.float32) * 0.012
+    write_ply(data_dir / "seed.ply", seed_pts,
+              colors=np.asarray(rgb)[::step])
+    # dense GT surface for chamfer regression
+    write_ply(data_dir / "gt_points.ply", np.asarray(pts),
+              colors=np.asarray(rgb))
+
+    meta = {
+        "frames": frames,
+        "ply_file_path": "seed.ply",
+        "train_filenames": [f"images/frame_{i:05d}.png"
+                            for i in range(n_views - 1)],
+        "test_filenames": [f"images/frame_{n_views - 1:05d}.png"],
+    }
+
+    if with_touches:
+        tdir = data_dir / "tactile"
+        tdir.mkdir(exist_ok=True)
+        gel_scale = 6.34e-5
+        grid = np.stack(np.meshgrid(np.arange(-10, 11), np.arange(-10, 11)),
+                        -1).reshape(-1, 2) * 10.0
+        sensor_pts = np.concatenate([grid, np.zeros((len(grid), 1))], -1)
+        write_pcd(tdir / "patch_0.pcd", sensor_pts.astype(np.float32),
+                  extra={"normal_x": np.zeros(len(grid), np.float32),
+                         "normal_y": np.zeros(len(grid), np.float32)})
+        # anchor the patch at the blob's +x surface point
+        import jax
+
+        from fusionsense_tpu.data.synthetic import _blob_implicit, _blob_radius
+
+        ux = jnp.asarray([1.0, 0.0, 0.0])
+        r_x = float(_blob_radius(ux, base))
+        T = np.eye(4)
+        T[:3, :3] = np.array([[0, 0, -1.0], [0, 1.0, 0], [1.0, 0, 0]]).T
+        T[:3, 3] = [r_x, 0.0, 0.0]
         with open(tdir / "gelsight_transform.json", "w") as f:
             json.dump({"gel_scale": gel_scale,
                        "frames": [{"file_path": "patch_0.pcd",

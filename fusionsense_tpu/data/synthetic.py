@@ -67,6 +67,102 @@ def sphere_points(n: int = 2000, radius: float = 0.5, seed: int = 0):
             jnp.asarray(normals, jnp.float32))
 
 
+# ---------------------------------------------------------------- blob ----
+#
+# A star-convex "bunny-class" test object: smooth radial perturbation of a
+# sphere with genus-0 bumps and dents, exact autodiff normals. Non-trivial
+# curvature + concavities make it a realistic-capture stand-in for the
+# reference's transparent_bunny scan (reference README.md:131-134) where
+# the plain sphere is too easy (no self-shading geometry, constant
+# curvature).
+
+def _blob_radius(u, base: float = 0.4):
+    """(..., 3) unit directions -> (...,) radius of the blob surface."""
+    x, y, z = u[..., 0], u[..., 1], u[..., 2]
+    bump = (0.16 * jnp.sin(3.0 * x + 1.0) * jnp.sin(2.0 * y)
+            + 0.12 * (x * x - y * y) * z
+            + 0.10 * jnp.sin(4.0 * z)
+            + 0.08 * x * y)
+    return base * (1.0 + bump)
+
+
+def _blob_implicit(p, base: float = 0.4):
+    r = jnp.linalg.norm(p, axis=-1)
+    u = p / jnp.maximum(r, 1e-9)[..., None]
+    return r - _blob_radius(u, base)
+
+
+def blob_points(n: int = 4000, base: float = 0.4, seed: int = 0):
+    """Surface samples of the blob: (points, colors, normals) — normals are
+    the exact implicit-function gradient (autodiff)."""
+    import jax
+
+    i = np.arange(n, dtype=np.float64)
+    phi = math.pi * (3.0 - math.sqrt(5.0))
+    yy = 1 - 2 * (i + 0.5) / n
+    rr = np.sqrt(np.maximum(1 - yy * yy, 0))
+    th = phi * i
+    u = jnp.asarray(np.stack([rr * np.cos(th), rr * np.sin(th), yy], -1),
+                    jnp.float32)
+    pts = u * _blob_radius(u, base)[..., None]
+    grad = jax.vmap(jax.grad(lambda p: _blob_implicit(p, base)))(pts)
+    normals = grad / jnp.linalg.norm(grad, axis=-1, keepdims=True)
+    c = 0.5 + 0.45 * jnp.stack(
+        [jnp.sin(7 * pts[:, 0] + 1), jnp.sin(9 * pts[:, 1] * pts[:, 2]),
+         jnp.sin(8 * pts[:, 2] + 2)], -1)
+    return pts, jnp.clip(c, 0, 1), normals
+
+
+def blob_depth_normals(camera: Camera, base: float = 0.4, n_steps: int = 48):
+    """Ray-marched z-depth + exact world normals + mask of the blob for ONE
+    camera (sphere-traced against the star-convex implicit)."""
+    import jax
+
+    H, W = camera.height, camera.width
+    c2w = camera.camtoworld
+    origin = camera.origin
+    ys = jnp.arange(H, dtype=jnp.float32) + 0.5
+    xs = jnp.arange(W, dtype=jnp.float32) + 0.5
+    gx, gy = jnp.meshgrid(xs, ys)
+    dirs_cam = jnp.stack(
+        [(gx - camera.cx) / camera.fx, (gy - camera.cy) / camera.fy,
+         jnp.ones_like(gx)], -1)
+    dirs = dirs_cam @ c2w[:3, :3].T
+    dn = dirs / jnp.linalg.norm(dirs, axis=-1, keepdims=True)
+
+    # bracket the surface on [t_near, t_far] around the bounding spheres
+    oc = jnp.linalg.norm(origin)
+    t0 = jnp.maximum(oc - 1.6 * base, 1e-3)
+    t1 = oc + 1.6 * base
+    ts = jnp.linspace(t0, t1, n_steps)
+
+    vals = jax.vmap(lambda t: _blob_implicit(origin + t * dn, base))(ts)
+    outside = vals > 0                                  # (S, H, W)
+    # first sign change along the ray
+    cross = outside[:-1] & ~outside[1:]
+    any_hit = jnp.any(cross, axis=0)
+    first = jnp.argmax(cross, axis=0)
+    ta = ts[first]
+    tb = ts[first + 1]
+    # bisection refinement (10 rounds, exact enough for 16-bit mm depth)
+    for _ in range(10):
+        tm = 0.5 * (ta + tb)
+        fm = _blob_implicit(origin + tm[..., None] * dn, base)
+        go_lo = fm > 0
+        ta = jnp.where(go_lo, tm, ta)
+        tb = jnp.where(go_lo, tb, tm)
+    t = 0.5 * (ta + tb)
+    pts = origin + t[..., None] * dn
+    grad = jax.vmap(jax.grad(lambda p: _blob_implicit(p, base)))(
+        pts.reshape(-1, 3)).reshape(H, W, 3)
+    normal = grad / jnp.maximum(
+        jnp.linalg.norm(grad, axis=-1, keepdims=True), 1e-9)
+    z = (pts @ camera.viewmat[:3, :3].T + camera.viewmat[:3, 3])[..., 2]
+    depth = jnp.where(any_hit, z, 0.0)
+    normal = jnp.where(any_hit[..., None], normal, 0.0)
+    return depth, normal, any_hit.astype(jnp.float32)
+
+
 def sphere_depth_normals(camera: Camera, center=(0.0, 0.0, 0.0),
                          radius: float = 0.5):
     """Analytic ray-traced z-depth + world normals of the GT sphere for ONE

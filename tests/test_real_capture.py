@@ -1,0 +1,90 @@
+"""Realistic-capture regression: the in-repo transparent_bunny analog.
+
+A 9-view capture of a bumpy star-convex object with procedural texture,
+NOISY sensor depth, masks, seed pcd, and a tactile patch runs the full
+Module 1+3 pipeline (priors -> train with ADC + touch anchoring -> mesh ->
+eval) and pins PSNR + sugar-coarse chamfer thresholds (VERDICT round-1
+missing item 7; reference canonical run scripts/train.py:274-327,
+README.md:131-145).
+"""
+import numpy as np
+import pytest
+
+from fusionsense_tpu.config import (
+    ExperimentConfig, LossConfig, ModelConfig, TrainConfig,
+)
+from fusionsense_tpu.data.dataparser import DataParserConfig
+from fusionsense_tpu.data.fixture import write_blob_scene
+from fusionsense_tpu.gaussians.adc import ADCConfig
+from fusionsense_tpu.pipeline import PipelineConfig, ReconstructionPipeline
+from fusionsense_tpu.render.rasterize import RasterizeConfig
+from fusionsense_tpu.utils.ply import read_ply
+
+ITERS = 320
+
+
+@pytest.fixture(scope="module")
+def blob_run(tmp_path_factory):
+    scene = tmp_path_factory.mktemp("blob_scene")
+    write_blob_scene(scene, n_views=9, width=128, height=96)
+    out = tmp_path_factory.mktemp("blob_out")
+    rcfg = RasterizeConfig(tile_size=16, tile_capacity=192,
+                           max_tiles_per_gaussian=16, tile_chunk=24,
+                           sh_degree=1)
+    cfg = PipelineConfig(
+        data=DataParserConfig(data_dir=str(scene), load_touches=True),
+        experiment=ExperimentConfig(
+            model=ModelConfig(sh_degree=1, rasterize=rcfg, capacity=8192,
+                              binary_opacities=False, sh_degree_interval=60),
+            train=TrainConfig(
+                iterations=ITERS, scan_chunk=40, add_touch_at=80,
+                adc=ADCConfig(warmup=60, refine_every=60,
+                              stop_split_at=ITERS - 60,
+                              reset_alpha_every=10_000)),
+            loss=LossConfig(normal_lambda=0.2, sensor_depth_lambda=0.2,
+                            smooth_lambda=0.01, flatness_lambda=0.01,
+                            mono_depth_lambda=0.0),
+        ),
+        output_dir=str(out),
+    )
+    pipe = ReconstructionPipeline(cfg)
+    hist = pipe.train(log=None)
+    return scene, pipe, hist
+
+
+def test_blob_training_reaches_psnr(blob_run):
+    _, pipe, hist = blob_run
+    res = pipe.evaluate("train")
+    # regression floor measured on this fixture (see BASELINE.md); a real
+    # regression (loss change, rasterizer bug) drops multiple dB
+    assert res["mean"]["psnr"] > 24.0, res["mean"]
+    assert np.isfinite(hist[-1]["loss"])
+
+
+def test_blob_sugar_coarse_chamfer(blob_run):
+    scene, pipe, _ = blob_run
+    from fusionsense_tpu.eval.chamfer import chamfer_eval
+
+    verts, faces, path = pipe.extract_mesh("sugar-coarse", resolution=96,
+                                           level_mode="peak")
+    assert path.exists() and len(verts) > 300
+    gt_pts, _ = read_ply(scene / "gt_points.ply")
+    res = chamfer_eval(np.asarray(verts), gt_pts)
+    # object scale 0.4: chamfer x1e3 below 1.0 = sub-mm-class agreement on
+    # the synthetic capture; regression floor with margin
+    assert res["chamfer_x1e3"] < 1.2, res
+
+
+def test_blob_touch_patch_anchored(blob_run):
+    import jax.numpy as jnp
+
+    scene, pipe, _ = blob_run
+    frozen = np.asarray(pipe.trainer.gaussians.frozen)
+    assert frozen.sum() > 0, "touch patch was not anchored"
+    means = np.asarray(pipe.trainer.gaussians.means)[frozen]
+    # the patch sits at the +x surface of the blob in scene coords
+    from fusionsense_tpu.data.synthetic import _blob_radius
+
+    r_x = float(_blob_radius(jnp.asarray([1.0, 0.0, 0.0]), 0.4))
+    expected = (np.array([r_x, 0, 0]) + pipe.scene.translate) * pipe.scene.scale
+    assert np.linalg.norm(means.mean(0) - expected) < 0.12 * pipe.scene.scale
