@@ -1,24 +1,27 @@
 """Pallas compositing v2: direct conic evaluation + absgrad backward.
 
-Differences from fusionsense_tpu/render/pallas_composite.py (v1):
-- per-slot payload is (mx, my, ca, cb, cc, log_op) and the kernel evaluates
-  power = -(0.5 ca dx^2 + cb dx dy + 0.5 cc dy^2) from dx = px - mx
-  directly. The v1 quadratic-coefficient matmul loses ~3 digits to
-  cancellation at pixel coords ~10^3; the dx/dy form is exact where it
-  matters,
-- the hand-written backward emits per-(tile, slot) gradients for the screen
-  position AND their absolute values — scatter-added outside, this gives
-  gsplat's absgrad densification statistic exactly (sum over tiles of
-  |per-tile position gradient|, reference dn_model consumes it via
-  means2d.absgrad),
+Single fused-table design: per-(tile, slot) payload is ONE (K, 8 + C) row
+  cols 0..7   [mx, my, ca, cb, cc, log_op, abs_tap_x, abs_tap_y]
+  cols 8..    C blended channels (rgb, depth, normal, pad)
+so the whole rasterizer does exactly ONE (T, K, 8+C) gather on the way in
+and its transpose is exactly ONE scatter-add on the way out. TPU dynamic
+gathers/scatters are per-row-overhead bound (~100x below memcpy bandwidth);
+three narrow gathers (pack / channels / absgrad tap) cost nearly 3x one wide
+one, so fusing the table is a direct multi-ms win at bench scale.
+
+Kernel details (unchanged from the two-input revision):
+- the kernel evaluates power = -(0.5 ca dx^2 + cb dx dy + 0.5 cc dy^2) from
+  dx = px - mx directly (the quadratic-coefficient matmul form loses ~3
+  digits to cancellation at pixel coords ~10^3),
+- prefix transmittance as tril-ones MXU matmuls (no cumsum lowering on
+  Pallas TPU),
+- early termination: a while_loop exits when every pixel saturates,
 - single-sweep backward: the forward stores per-chunk log-transmittance
   carries and the early-termination chunk count, so the backward replays
-  nothing and skips chunks the forward never composited (matching its
-  early-exit numerics exactly).
-
-Exposed as rasterize(..., backend="pallas") via pallas_composite2 with a
-zero-valued `absgrad_tap` input whose custom-vjp "gradient" carries the
-absolute accumulation.
+  nothing and skips chunks the forward never composited,
+- the backward writes |d mx|, |d my| into table cols 6, 7 — the zero-valued
+  abs_tap columns — so gsplat's absgrad densification statistic (reference
+  dn_model consumes means2d.absgrad) rides the one scatter for free.
 """
 from __future__ import annotations
 
@@ -57,7 +60,7 @@ def _pixel_xy(tile_idx, tiles_x: int, tile_size: int, P: int):
 
 
 def _alpha_of_chunk(pack_c, px, py):
-    """pack_c (B, 8): [mx, my, ca, cb, cc, log_op, 0, 0] -> alpha (B, P)."""
+    """pack_c (B, >=6): [mx, my, ca, cb, cc, log_op, ...] -> alpha (B, P)."""
     mx = pack_c[:, 0:1]
     my = pack_c[:, 1:2]
     ca = pack_c[:, 2:3]
@@ -73,8 +76,7 @@ def _alpha_of_chunk(pack_c, px, py):
     return alpha, alive, (dx, dy, ca, cb, cc)
 
 
-def _fwd_kernel(count_ref, pack_ref, chan_ref, out_ref, logt_ref,
-                carry_ref, nused_ref,
+def _fwd_kernel(count_ref, tab_ref, out_ref, logt_ref, carry_ref, nused_ref,
                 *, tiles_x: int, tile_size: int, B: int, K: int, C: int,
                 blend_bf16: bool = False):
     P = tile_size * tile_size
@@ -85,8 +87,9 @@ def _fwd_kernel(count_ref, pack_ref, chan_ref, out_ref, logt_ref,
 
     def body(state):
         c, log_t, acc = state
-        pack_c = pack_ref[0, pl.ds(c * B, B), :]
-        chan_c = chan_ref[0, pl.ds(c * B, B), :]
+        tab_c = tab_ref[0, pl.ds(c * B, B), :]
+        pack_c = tab_c[:, 0:8]
+        chan_c = tab_c[:, 8:8 + C]
         # record log T entering this chunk: the backward replays from these
         # carries instead of re-running the whole forward sweep
         carry_ref[0, pl.ds(c, 1), :] = log_t
@@ -119,9 +122,8 @@ def _fwd_kernel(count_ref, pack_ref, chan_ref, out_ref, logt_ref,
     nused_ref[0, :, :] = jnp.full((1, 128), c_fin, jnp.int32)
 
 
-def _bwd_kernel(neff_ref, pack_ref, chan_ref, g_out_ref, g_logt_ref,
-                logt_ref, carry_ref,
-                dpack_ref, dchan_ref, dabs_ref,
+def _bwd_kernel(neff_ref, tab_ref, g_out_ref, g_logt_ref, logt_ref,
+                carry_ref, dtab_ref,
                 *, tiles_x: int, tile_size: int, B: int, K: int, C: int,
                 blend_bf16: bool = False):
     P = tile_size * tile_size
@@ -134,14 +136,13 @@ def _bwd_kernel(neff_ref, pack_ref, chan_ref, g_out_ref, g_logt_ref,
     g_logt = g_logt_ref[0, :, :]
     t_fin = jnp.exp(logt_ref[0, :, :])
 
-    dpack_ref[0, :, :] = jnp.zeros((K, 8), jnp.float32)
-    dchan_ref[0, :, :] = jnp.zeros((K, C), jnp.float32)
-    dabs_ref[0, :, :] = jnp.zeros((K, 8), jnp.float32)
+    dtab_ref[0, :, :] = jnp.zeros((K, 8 + C), jnp.float32)
 
     def bwd_body(k, S):
         c = n_eff - 1 - k
-        pack_c = pack_ref[0, pl.ds(c * B, B), :]
-        chan_c = chan_ref[0, pl.ds(c * B, B), :]
+        tab_c = tab_ref[0, pl.ds(c * B, B), :]
+        pack_c = tab_c[:, 0:8]
+        chan_c = tab_c[:, 8:8 + C]
         alpha, alive, (dx, dy, ca, cb, cc) = _alpha_of_chunk(pack_c, px, py)
         lg = jnp.log1p(-alpha)
         cum = jnp.dot(tril, lg, preferred_element_type=jnp.float32)
@@ -172,29 +173,26 @@ def _bwd_kernel(neff_ref, pack_ref, chan_ref, g_out_ref, g_logt_ref,
         d_cb = jnp.sum(d_power * (-dx * dy), axis=1, keepdims=True)
         d_cc = jnp.sum(d_power * (-0.5 * dy * dy), axis=1, keepdims=True)
         d_lo = jnp.sum(d_power, axis=1, keepdims=True)
-        zero = jnp.zeros_like(d_lo)
-        dpack = jnp.concatenate(
-            [d_mx, d_my, d_ca, d_cb, d_cc, d_lo, zero, zero], axis=1)
-        dpack_ref[0, pl.ds(c * B, B), :] = dpack
-        # per-tile ABSOLUTE position grads: gsplat's absgrad statistic
-        dabs_ref[0, pl.ds(c * B, B), :] = jnp.concatenate(
-            [jnp.abs(d_mx), jnp.abs(d_my), zero, zero, zero, zero, zero,
-             zero], axis=1)
         if blend_bf16:
-            dchan_ref[0, pl.ds(c * B, B), :] = jnp.dot(
-                w.astype(jnp.bfloat16), g_out.T.astype(jnp.bfloat16),
-                preferred_element_type=jnp.float32)
+            d_chan = jnp.dot(w.astype(jnp.bfloat16),
+                             g_out.T.astype(jnp.bfloat16),
+                             preferred_element_type=jnp.float32)
         else:
-            dchan_ref[0, pl.ds(c * B, B), :] = jnp.dot(
-                w, g_out.T, preferred_element_type=jnp.float32)
+            d_chan = jnp.dot(w, g_out.T, preferred_element_type=jnp.float32)
+        # cols 6, 7 carry the per-tile ABSOLUTE position grads — gsplat's
+        # absgrad statistic — through the single table scatter
+        dtab = jnp.concatenate(
+            [d_mx, d_my, d_ca, d_cb, d_cc, d_lo,
+             jnp.abs(d_mx), jnp.abs(d_my), d_chan], axis=1)
+        dtab_ref[0, pl.ds(c * B, B), :] = dtab
         return S + jnp.sum(a_term, axis=0, keepdims=True)
 
     jax.lax.fori_loop(0, n_eff, bwd_body, jnp.zeros((1, P), jnp.float32))
 
 
-def _run_fwd(pack, chan, counts, *, tiles_x, tile_size, B, blend_bf16=False):
-    T, K, _ = pack.shape
-    C = chan.shape[-1]
+def _run_fwd(table, counts, *, tiles_x, tile_size, B, blend_bf16=False):
+    T, K, W = table.shape
+    C = W - 8
     P = tile_size * tile_size
     kern = functools.partial(_fwd_kernel, tiles_x=tiles_x,
                              tile_size=tile_size, B=B, K=K, C=C,
@@ -204,8 +202,7 @@ def _run_fwd(pack, chan, counts, *, tiles_x, tile_size, B, blend_bf16=False):
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1, grid=(T,),
             in_specs=[
-                pl.BlockSpec((1, K, 8), lambda i, c: (i, 0, 0)),
-                pl.BlockSpec((1, K, C), lambda i, c: (i, 0, 0)),
+                pl.BlockSpec((1, K, W), lambda i, c: (i, 0, 0)),
             ],
             out_specs=[
                 pl.BlockSpec((1, C, P), lambda i, c: (i, 0, 0)),
@@ -221,13 +218,13 @@ def _run_fwd(pack, chan, counts, *, tiles_x, tile_size, B, blend_bf16=False):
             jax.ShapeDtypeStruct((T, 1, 128), jnp.int32),
         ],
         interpret=_interpret(),
-    )(counts, pack, chan)
+    )(counts, table)
 
 
-def _run_bwd(pack, chan, neff, g_out, g_logt, logt, carries,
+def _run_bwd(table, neff, g_out, g_logt, logt, carries,
              *, tiles_x, tile_size, B, blend_bf16=False):
-    T, K, _ = pack.shape
-    C = chan.shape[-1]
+    T, K, W = table.shape
+    C = W - 8
     P = tile_size * tile_size
     kern = functools.partial(_bwd_kernel, tiles_x=tiles_x,
                              tile_size=tile_size, B=B, K=K, C=C,
@@ -237,64 +234,58 @@ def _run_bwd(pack, chan, neff, g_out, g_logt, logt, carries,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1, grid=(T,),
             in_specs=[
-                pl.BlockSpec((1, K, 8), lambda i, c: (i, 0, 0)),
-                pl.BlockSpec((1, K, C), lambda i, c: (i, 0, 0)),
+                pl.BlockSpec((1, K, W), lambda i, c: (i, 0, 0)),
                 pl.BlockSpec((1, C, P), lambda i, c: (i, 0, 0)),
                 pl.BlockSpec((1, 1, P), lambda i, c: (i, 0, 0)),
                 pl.BlockSpec((1, 1, P), lambda i, c: (i, 0, 0)),
                 pl.BlockSpec((1, K // B, P), lambda i, c: (i, 0, 0)),
             ],
             out_specs=[
-                pl.BlockSpec((1, K, 8), lambda i, c: (i, 0, 0)),
-                pl.BlockSpec((1, K, C), lambda i, c: (i, 0, 0)),
-                pl.BlockSpec((1, K, 8), lambda i, c: (i, 0, 0)),
+                pl.BlockSpec((1, K, W), lambda i, c: (i, 0, 0)),
             ],
         ),
         out_shape=[
-            jax.ShapeDtypeStruct((T, K, 8), jnp.float32),
-            jax.ShapeDtypeStruct((T, K, C), jnp.float32),
-            jax.ShapeDtypeStruct((T, K, 8), jnp.float32),
+            jax.ShapeDtypeStruct((T, K, W), jnp.float32),
         ],
         interpret=_interpret(),
-    )(neff, pack, chan, g_out, g_logt, logt, carries)
+    )(neff, table, g_out, g_logt, logt, carries)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
-def pallas_composite2(pack, chan, counts, absgrad_tap,
-                      tiles_x, tile_size, B=128, blend_bf16=False):
-    """Fused compositing, direct-conic form.
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5))
+def pallas_composite2(table, counts, tiles_x, tile_size, B=128,
+                      blend_bf16=False):
+    """Fused compositing over the single per-tile table.
 
-    pack: (T, K, 8) [mx, my, ca, cb, cc, log_op, 0, 0]; dead slots must
-      carry log_op = -1e10.
-    chan: (T, K, C); counts (T,) int32; absgrad_tap (T, K, 2) zeros — its
-      custom-vjp gradient returns the per-(tile, slot) |position grad|.
+    table: (T, K, 8 + C) rows [mx, my, ca, cb, cc, log_op, abs_tap_x,
+      abs_tap_y, chan_0..chan_{C-1}]; dead slots must carry log_op = -1e10.
+      The gradient's cols 6, 7 return the per-(tile, slot) |position grad|
+      (feed zeros in; gsplat's absgrad comes out of the scatter transpose).
+    counts: (T,) int32 live slots per tile.
     Returns (out (T, P, C), alpha (T, P)).
     """
-    out, logt, _, _ = _run_fwd(pack, chan, counts, tiles_x=tiles_x,
+    out, logt, _, _ = _run_fwd(table, counts, tiles_x=tiles_x,
                                tile_size=tile_size, B=B,
                                blend_bf16=blend_bf16)
     return jnp.swapaxes(out, 1, 2), 1.0 - jnp.exp(logt[:, 0, :])
 
 
-def _fwd_rule(pack, chan, counts, absgrad_tap, tiles_x, tile_size, B,
-              blend_bf16):
+def _fwd_rule(table, counts, tiles_x, tile_size, B, blend_bf16):
     out, logt, carries, nused = _run_fwd(
-        pack, chan, counts, tiles_x=tiles_x, tile_size=tile_size, B=B,
+        table, counts, tiles_x=tiles_x, tile_size=tile_size, B=B,
         blend_bf16=blend_bf16)
     return ((jnp.swapaxes(out, 1, 2), 1.0 - jnp.exp(logt[:, 0, :])),
-            (pack, chan, nused[:, 0, 0], logt, carries))
+            (table, nused[:, 0, 0], logt, carries))
 
 
 def _bwd_rule(tiles_x, tile_size, B, blend_bf16, res, g):
-    pack, chan, neff, logt, carries = res
+    table, neff, logt, carries = res
     g_out, g_alpha = g
     g_out_t = jnp.swapaxes(g_out, 1, 2)
     g_logt = (-g_alpha)[:, None, :]
-    dpack, dchan, dabs = _run_bwd(pack, chan, neff, g_out_t, g_logt, logt,
-                                  carries, tiles_x=tiles_x,
-                                  tile_size=tile_size, B=B,
-                                  blend_bf16=blend_bf16)
-    return dpack, dchan, None, dabs[..., :2]
+    (dtab,) = _run_bwd(table, neff, g_out_t, g_logt, logt, carries,
+                       tiles_x=tiles_x, tile_size=tile_size, B=B,
+                       blend_bf16=blend_bf16)
+    return dtab, None
 
 
 pallas_composite2.defvjp(_fwd_rule, _bwd_rule)

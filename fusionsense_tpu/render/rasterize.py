@@ -149,37 +149,35 @@ def rasterize(
 
     # gather per-tile data; empty slots (-1) -> index 0 but payload forced dead
     idx = jnp.maximum(bins.indices, 0)
-    tile_chan = jnp.where(bins.mask[..., None], channels[idx], 0.0)  # (T, K, 7)
 
     if cfg.backend == "pallas":
         from fusionsense_tpu.render.pallas_composite2 import pallas_composite2
 
-        nchan = tile_chan.shape[-1]
+        nchan = channels.shape[-1]
         pad_c = (-nchan) % 8
-        if pad_c:
-            tile_chan_p = jnp.concatenate(
-                [tile_chan, jnp.zeros(tile_chan.shape[:-1] + (pad_c,))], -1)
-        else:
-            tile_chan_p = tile_chan
         counts = jnp.sum(bins.mask, axis=-1).astype(jnp.int32)
-        # per-gaussian payload [mx, my, ca, cb, cc, log_op, 0, 0]
         log_op = jnp.where(proj.valid,
                            jnp.log(jnp.maximum(op, 1e-12)), -1e10)
-        zeros_n = jnp.zeros_like(log_op)
-        pack_n = jnp.stack(
-            [mean2d[:, 0], mean2d[:, 1], proj.conic[:, 0], proj.conic[:, 1],
-             proj.conic[:, 2], log_op, zeros_n, zeros_n], axis=-1)
-        tile_pack = jnp.where(
-            bins.mask[..., None], pack_n[idx],
-            jnp.zeros_like(pack_n[idx]).at[..., 5].set(-1e10))
         if absgrad_tap is None:
             absgrad_tap = jnp.zeros((N, 2))
-        tile_abs_tap = absgrad_tap[idx] * bins.mask[..., None]
+        # ONE fused per-gaussian table [mx, my, ca, cb, cc, log_op, abs_tap,
+        # abs_tap, chan...] so the tile stage is ONE (T, K, 8+C) gather and
+        # its backward ONE scatter-add (TPU gathers are per-row bound; three
+        # narrow gathers cost ~3x one wide one)
+        cols = [mean2d[:, 0:1], mean2d[:, 1:2], proj.conic[:, 0:1],
+                proj.conic[:, 1:2], proj.conic[:, 2:3], log_op[:, None],
+                absgrad_tap, channels]
+        if pad_c:
+            cols.append(jnp.zeros((N, pad_c)))
+        table_n = jnp.concatenate(cols, axis=-1)          # (N, 8 + Cpad)
+        dead = jnp.zeros((table_n.shape[-1],)).at[5].set(-1e10)
+        tile_table = jnp.where(bins.mask[..., None], table_n[idx], dead)
         out_tiled, alpha_tiled = pallas_composite2(
-            tile_pack, tile_chan_p, counts, tile_abs_tap,
+            tile_table, counts,
             grid.tiles_x, cfg.tile_size, cfg.pallas_chunk, cfg.blend_bf16)
         out_tiled = out_tiled[..., :nchan]
     else:
+        tile_chan = jnp.where(bins.mask[..., None], channels[idx], 0.0)
         coeff = alpha_coefficients(mean2d, proj.conic, op, proj.valid)
         tile_coeff = jnp.where(
             bins.mask[..., None], coeff[idx],

@@ -36,42 +36,57 @@ def gaussian_window(size: int = 11, sigma: float = 1.5) -> jax.Array:
     return jnp.outer(g, g)
 
 
-def _filter2d(img: jax.Array, kernel: jax.Array) -> jax.Array:
-    """Depthwise separable Gaussian conv, VALID padding.
+def _band_matrix(n_out: int, n_in: int, taps: jax.Array) -> jax.Array:
+    """(n_out, n_in) banded matrix B with B[i, i+j] = taps[j] (VALID conv)."""
+    k = taps.shape[0]
+    col = jax.lax.broadcasted_iota(jnp.int32, (n_out, n_in), 1)
+    row = jax.lax.broadcasted_iota(jnp.int32, (n_out, n_in), 0)
+    off = col - row
+    inband = jnp.logical_and(off >= 0, off < k)
+    return jnp.where(inband, taps[jnp.clip(off, 0, k - 1)], 0.0)
 
-    img (H, W, C), kernel (k, k) assumed separable (outer product of a 1D
-    window — true for the SSIM Gaussian): two 1D passes cost 2k taps
-    instead of k^2."""
-    C = img.shape[-1]
+
+def _filter2d_batch(imgs: jax.Array, k1: jax.Array) -> jax.Array:
+    """Separable filter over a (B, H, W) batch, VALID, as banded matmuls.
+
+    A depthwise conv lowers to slow VPU code on TPU; expressing each 1D
+    pass as a dense banded (out, in) matrix matmul puts the filter on the
+    MXU instead (measured: full SSIM fwd+bwd 6.5 ms -> ~1 ms at 640x480).
+    f32 precision is required: the default bf16 TPU matmul visibly skews
+    the E[x^2] - mu^2 variance terms."""
+    _, H, W = imgs.shape
+    k = k1.shape[0]
+    hi = jax.lax.Precision.HIGH
+    Bv = _band_matrix(H - k + 1, H, k1)                     # (H', H)
+    Bw = _band_matrix(W - k + 1, W, k1)                     # (W', W)
+    t = jnp.einsum("oh,bhw->bow", Bv, imgs, precision=hi)   # (B, H', W)
+    return jnp.einsum("bow,pw->bop", t, Bw, precision=hi)   # (B, H', W')
+
+
+def _filter2d(img: jax.Array, kernel: jax.Array) -> jax.Array:
+    """Separable Gaussian filter of an (H, W, C) image, VALID padding."""
     k1 = kernel[:, 0]
     k1 = k1 / jnp.sum(k1)
-
-    def dw(x, kern, axis):
-        shape = [1, 1, 1, 1]
-        shape[axis] = kern.shape[0]
-        kk = jnp.tile(kern.reshape(shape[:2] + [1, 1]) if axis == 0
-                      else kern.reshape([1, kern.shape[0], 1, 1]),
-                      (1, 1, 1, C))
-        return jax.lax.conv_general_dilated(
-            x, kk, window_strides=(1, 1), padding="VALID",
-            dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            feature_group_count=C)
-
-    out = dw(img[None], k1, 0)
-    out = dw(out, k1, 1)
-    return out[0]
+    out = _filter2d_batch(jnp.moveaxis(img, -1, 0), k1)
+    return jnp.moveaxis(out, 0, -1)
 
 
 def ssim(a: jax.Array, b: jax.Array, *, size: int = 11, sigma: float = 1.5,
          c1: float = 0.01 ** 2, c2: float = 0.03 ** 2) -> jax.Array:
     """Mean SSIM over an (H, W, C) pair in [0, 1]."""
-    w = gaussian_window(size, sigma)
-    mu_a = _filter2d(a, w)
-    mu_b = _filter2d(b, w)
+    x = jnp.moveaxis(a, -1, 0)                     # (C, H, W)
+    y = jnp.moveaxis(b, -1, 0)
+    k1 = gaussian_window(size, sigma)[:, 0]
+    k1 = k1 / jnp.sum(k1)
+    # one batched banded-matmul pass filters all five statistic maps
+    stack = jnp.concatenate([x, y, x * x, y * y, x * y], axis=0)
+    f = _filter2d_batch(stack, k1)
+    C = x.shape[0]
+    mu_a, mu_b = f[:C], f[C:2 * C]
     mu_aa, mu_bb, mu_ab = mu_a * mu_a, mu_b * mu_b, mu_a * mu_b
-    sig_a = _filter2d(a * a, w) - mu_aa
-    sig_b = _filter2d(b * b, w) - mu_bb
-    sig_ab = _filter2d(a * b, w) - mu_ab
+    sig_a = f[2 * C:3 * C] - mu_aa
+    sig_b = f[3 * C:4 * C] - mu_bb
+    sig_ab = f[4 * C:] - mu_ab
     s = ((2 * mu_ab + c1) * (2 * sig_ab + c2)) / (
         (mu_aa + mu_bb + c1) * (sig_a + sig_b + c2)
     )
