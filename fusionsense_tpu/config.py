@@ -56,6 +56,14 @@ class TrainConfig:
     log_every: int = 100
     scan_chunk: int = 100               # steps fused into one device dispatch
     auto_capacity: bool = True          # power-of-two capacity bucketing
+    render_prefix: bool = True          # rasterize only the alive-first
+    #   compacted [0, render_n) prefix (resize.compact_train_state)
+    auto_tile_capacity: bool = True     # grow rasterizer K when tile
+    #   overflow starves pixels (keep-nearest-K drops whole sub-regions
+    #   once a tile overcommits; see render/binning.py)
+    max_tile_capacity: int = 4096
+    tile_overflow_frac: float = 0.02    # bump K when dropped pairs exceed
+    #   this fraction of T*K
     camera_opt: bool = False            # optimize SE3 camera deltas
     camera_opt_lr: float = 1e-3         # reference dn_config camera_opt lr
     camera_opt_every_k: int = 100       # grad accumulation (dn_config.py:29)

@@ -139,6 +139,7 @@ def write_blob_scene(
     depth_noise: float = 0.004,
     with_touches: bool = True,
     seed: int = 0,
+    n_seed_pts: int = 600,
 ):
     """Realistic-capture regression fixture: 9 posed views of a bumpy
     star-convex object with procedural texture, NOISY 16-bit sensor depth,
@@ -200,7 +201,7 @@ def write_blob_scene(
         })
 
     # sparse noisy seed pcd (what a 9-view SfM/backprojection would give)
-    step = max(1, n_gt // 600)
+    step = max(1, n_gt // n_seed_pts)
     seed_pts = np.asarray(pts)[::step]
     seed_pts = seed_pts + rng.randn(*seed_pts.shape).astype(np.float32) * 0.012
     write_ply(data_dir / "seed.ply", seed_pts,

@@ -76,7 +76,12 @@ def accumulate_stats(
     0.5*max(H, W), making the statistic roughly resolution-independent
     (the analog of the reference's NDC-grad x image-extent normalization
     in its refinement_after). The default densify_grad_thresh in ADCConfig
-    is calibrated for THIS convention, not for gsplat's.
+    is calibrated for THIS convention, not for gsplat's — and it is
+    calibrated at 640x480: because the per-pixel loss mean scales as
+    1/(H W) while a splat's footprint scales as H W, the statistic grows
+    roughly linearly with resolution, so low-res scenes need a
+    proportionally lower densify_grad_thresh (e.g. the 128x96 blob
+    fixture uses 0.0008).
     """
     vis = radius > 0
     norm = jnp.linalg.norm(mean2d_grad, axis=-1) * (0.5 * max(width, height))

@@ -73,7 +73,10 @@ def resize_train_state(
 
     # shrink: alive-first stable permutation, then slice
     perm = jnp.argsort(~gaussians.alive, stable=True)[:new_capacity]
+    return _permute_state(gaussians, opt, stats, perm)
 
+
+def _permute_state(gaussians, opt, stats, perm):
     def take(x):
         return x[perm]
 
@@ -83,3 +86,30 @@ def resize_train_state(
         acc=jax.tree.map(take, opt.acc), counts=opt.counts)
     stats2 = RefineStats(**{k: take(v) for k, v in dict(stats).items()})
     return g, opt2, stats2
+
+
+@jax.jit
+def compact_train_state(gaussians: GaussianState, opt: AdamState,
+                        stats: RefineStats):
+    """Stable alive-first permutation at constant capacity.
+
+    Establishes the render-prefix invariant: every alive slot sits in
+    [0, num_alive). The trainer re-compacts at each host logging sync, so
+    rasterization can run on a sliced [:render_n] prefix instead of the
+    full capacity bucket (ADC's `_alloc_free_slots` fills lowest free slots
+    first, so the prefix decays only by the net population growth between
+    syncs)."""
+    perm = jnp.argsort(~gaussians.alive, stable=True)
+    return _permute_state(gaussians, opt, stats, perm)
+
+
+# pow2-and-1.5*pow2 ladder: fine enough to track the population without a
+# recompile per refine, coarse enough that a run touches a handful of sizes
+def render_bucket(n_alive: int, capacity: int, minimum: int = 1024,
+                  margin: float = 1.2) -> int:
+    """Static render-prefix length covering n_alive with growth headroom."""
+    want = max(int(n_alive * margin), minimum)
+    b = minimum
+    while b < want:
+        b = b + b // 2 if (b & (b - 1)) == 0 else (b // 3) * 4
+    return min(b, capacity)

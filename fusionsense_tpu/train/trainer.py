@@ -23,7 +23,9 @@ import jax.numpy as jnp
 from fusionsense_tpu.config import ExperimentConfig
 from fusionsense_tpu.core.cameras import Camera
 from fusionsense_tpu.gaussians.adc import accumulate_stats, init_stats, refine
-from fusionsense_tpu.gaussians.resize import pick_capacity, resize_train_state
+from fusionsense_tpu.gaussians.resize import (
+    compact_train_state, pick_capacity, render_bucket, resize_train_state,
+)
 from fusionsense_tpu.gaussians.store import GaussianState, activated
 from fusionsense_tpu.core.transforms import apply_se3_delta
 from fusionsense_tpu.render.rasterize import (
@@ -64,8 +66,15 @@ def compute_losses(
     tap: jax.Array,
     cam_delta: Optional[jax.Array] = None,   # (6,) SE3 pose correction
     absgrad_tap: Optional[jax.Array] = None,
+    render_n: Optional[int] = None,
 ):
-    """Forward + composite DN-Splatter loss for one camera."""
+    """Forward + composite DN-Splatter loss for one camera.
+
+    render_n: static prefix length — when the trainer maintains the
+    alive-first compaction invariant (resize.compact_train_state), the
+    rasterizer only needs the first render_n slots, cutting projection/
+    binning/sort work from the capacity bucket to the live population.
+    """
     mc, lc = cfg.model, cfg.loss
     means, quats, scales, op, colors = activated(
         gaussians,
@@ -73,6 +82,15 @@ def compute_losses(
         opacity_threshold=mc.binary_opacity_threshold,
     )
     colors = colors * sh_band_mask(mc.sh_degree, step, mc.sh_degree_interval)[None, :, None]
+    alive_r = gaussians.alive
+    if render_n is not None and render_n < gaussians.capacity:
+        means, quats, scales, op, colors = (
+            means[:render_n], quats[:render_n], scales[:render_n],
+            op[:render_n], colors[:render_n])
+        alive_r = alive_r[:render_n]
+        tap = tap[:render_n]
+        if absgrad_tap is not None:
+            absgrad_tap = absgrad_tap[:render_n]
 
     cam_i = camera.index(cam_idx)
     if cam_delta is not None:
@@ -153,7 +171,11 @@ def compute_losses(
         total = total + lc.sparse_lambda * sp
 
     if lc.touch_normal_lambda > 0:
-        tn = L.touch_normal_loss(normals_g, gaussians.normals, gaussians.frozen)
+        n_gt = gaussians.normals
+        frz = gaussians.frozen
+        if render_n is not None and render_n < gaussians.capacity:
+            n_gt, frz = n_gt[:render_n], frz[:render_n]
+        tn = L.touch_normal_loss(normals_g, n_gt, frz)
         parts["touch_normal"] = tn
         total = total + lc.touch_normal_lambda * tn
 
@@ -161,7 +183,7 @@ def compute_losses(
         from fusionsense_tpu.train.sdf_loss import sdf_loss
 
         sdfl = sdf_loss(jax.random.PRNGKey(step), means, quats, scales, op,
-                        gaussians.alive, out.depth, cam_i,
+                        alive_r, out.depth, cam_i,
                         n_samples=lc.sdf_samples)
         parts["sdf"] = sdfl
         total = total + lc.sdf_lambda * sdfl
@@ -175,12 +197,23 @@ def compute_losses(
 
 
 def make_train_chunk(cfg: ExperimentConfig, camera: Camera, data: TrainData,
-                     adam_groups=None):
+                     adam_groups=None, render_n: Optional[int] = None,
+                     tile_capacity: Optional[int] = None):
     """Build the jitted multi-step training function.
 
     Returns f(gaussians, opt, stats, step0, cam_indices) ->
     (gaussians, opt, stats, metrics) running len(cam_indices) fused steps.
+    render_n statically bounds the rasterized prefix (see compute_losses);
+    tile_capacity overrides the rasterizer K (the trainer auto-bumps it
+    when overflow telemetry shows pixel starvation).
     """
+    if tile_capacity is not None and \
+            tile_capacity != cfg.model.rasterize.tile_capacity:
+        import dataclasses as _dc
+
+        cfg = _dc.replace(cfg, model=_dc.replace(
+            cfg.model, rasterize=_dc.replace(
+                cfg.model.rasterize, tile_capacity=tile_capacity)))
     adam_groups = adam_groups or DEFAULT_GROUPS
     use_cam_opt = cfg.train.camera_opt
 
@@ -198,7 +231,8 @@ def make_train_chunk(cfg: ExperimentConfig, camera: Camera, data: TrainData,
             g = gaussians.replace(**params)
             delta = deltas[cam_idx] if use_cam_opt else None
             return compute_losses(g, camera, data, cam_idx, step, cfg, tap,
-                                  cam_delta=delta, absgrad_tap=abs_tap)
+                                  cam_delta=delta, absgrad_tap=abs_tap,
+                                  render_n=render_n)
 
         tap0 = jnp.zeros((gaussians.capacity, 2))
         (loss, (parts, aux)), grads = jax.value_and_grad(
@@ -225,7 +259,12 @@ def make_train_chunk(cfg: ExperimentConfig, camera: Camera, data: TrainData,
                 groups=cam_group)
             cam_deltas = cam_p["cam_delta"]
 
-        stats2 = accumulate_stats(stats, tap_grad, aux["radius"],
+        radius = aux["radius"]
+        if radius.shape[0] < gaussians.capacity:   # rendered prefix -> pad
+            radius = jnp.concatenate(
+                [radius, jnp.zeros(gaussians.capacity - radius.shape[0],
+                                   radius.dtype)])
+        stats2 = accumulate_stats(stats, tap_grad, radius,
                                   camera.width, camera.height)
         metrics = {"loss": loss, "psnr": aux["psnr"], "overflow": aux["overflow"]}
         return (gaussians2, opt2, (cam_deltas, cam_opt),
@@ -273,7 +312,12 @@ class Trainer:
         nv = data.images.shape[0]
         z6 = jnp.zeros((nv, 6))
         self.cam_state = (z6, init_adam({"cam_delta": z6}))
-        self._train_chunk = make_train_chunk(cfg, camera, data, adam_groups)
+        self._adam_groups = adam_groups
+        self._chunk_cache: dict = {}
+        self.render_n: Optional[int] = None
+        self.tile_capacity = cfg.model.rasterize.tile_capacity
+        self._grid_tiles = (-(-camera.width // cfg.model.rasterize.tile_size)
+                            * -(-camera.height // cfg.model.rasterize.tile_size))
         # seed folded inside jit: jax.random.PRNGKey on the host is an
         # eager device op (a full round trip on a networked TPU)
         self._refine = jax.jit(
@@ -289,7 +333,62 @@ class Trainer:
             if cap0 != self.gaussians.capacity:
                 self.gaussians, self.opt, self.stats = resize_train_state(
                     self.gaussians, self.opt, self.stats, new_capacity=cap0)
+        if cfg.train.render_prefix:
+            self._recompact(int(self.gaussians.num_alive))
         self.history: list[dict] = []
+
+    def _recompact(self, n_alive: int):
+        """Re-establish the alive-first prefix and pick the render bucket.
+
+        Hysteresis: growing re-buckets immediately (correctness — alive
+        slots must fit the prefix), but shrinking waits until the
+        population is >= 2 ladder steps below the current bucket. Every
+        distinct (capacity, render_n) pair compiles its own train chunk
+        (~tens of seconds on a tunneled TPU), so bucket thrash is the
+        dominant cost of a wrong policy here.
+        """
+        self.gaussians, self.opt, self.stats = compact_train_state(
+            self.gaussians, self.opt, self.stats)
+        want = render_bucket(n_alive, self.gaussians.capacity)
+        if (self.render_n is None or want > self.render_n
+                or want * 2.25 <= self.render_n
+                or want == self.gaussians.capacity):
+            self.render_n = want
+        else:
+            self.render_n = min(self.render_n, self.gaussians.capacity)
+
+    @property
+    def _train_chunk(self):
+        key = (self.gaussians.capacity, self.render_n, self.tile_capacity)
+        fn = self._chunk_cache.get(key)
+        if fn is None:
+            fn = make_train_chunk(self.cfg, self.camera, self.data,
+                                  self._adam_groups, render_n=self.render_n,
+                                  tile_capacity=self.tile_capacity)
+            self._chunk_cache[key] = fn
+        return fn
+
+    def _maybe_bump_tile_capacity(self, overflow: int):
+        """Grow K when dropped (tile, splat) pairs signal pixel starvation.
+
+        Keep-nearest-K overflow silently stops rasterizing whole tile
+        sub-regions once a tile overcommits (drop-farthest keeps only the
+        near-depth cluster); measured on the blob fixture this cost 30+ dB
+        of reconstruction before the capacity was raised. Policy: bump K by
+        1.5x (rounded to the pallas chunk multiple) whenever dropped pairs
+        exceed tile_overflow_frac of the T*K budget.
+        """
+        tc = self.cfg.train
+        if not tc.auto_tile_capacity:
+            return
+        budget = self._grid_tiles * self.tile_capacity
+        if overflow <= tc.tile_overflow_frac * budget:
+            return
+        if self.tile_capacity >= tc.max_tile_capacity:
+            return
+        want = int(self.tile_capacity * 1.5)
+        want = -(-want // 128) * 128
+        self.tile_capacity = min(want, tc.max_tile_capacity)
 
     def _cam_indices(self, n: int):
         # sequential camera order, like the reference datamanager
@@ -324,6 +423,7 @@ class Trainer:
             self.gaussians, self.opt, self.cam_state, self.stats = g, o, cs, s
             self.step += n
 
+            alive_changed = False
             if (self.step >= adc.warmup and self.step < adc.stop_split_at
                     and (self.step - adc.warmup) % adc.refine_every == 0):
                 seed = _np.uint32(cfg.train.seed * 1_000_003 + self.step)
@@ -331,8 +431,16 @@ class Trainer:
                     self.gaussians, self.opt, self.stats, seed,
                     _np.int32(self.step),
                 )
+                alive_changed = True
             for cb in self.extra_callbacks:
                 cb(self)
+                alive_changed = True   # callbacks may add/prune slots
+            if alive_changed and cfg.train.render_prefix:
+                # the prefix MUST track the population every time it can
+                # change, not just at log boundaries: alive slots past
+                # render_n silently never rasterize. Costs one scalar
+                # device fetch per refine boundary.
+                self._recompact(int(jax.device_get(self.gaussians.num_alive)))
 
             if (self.image_log_dir is not None
                     and self.step % cfg.train.log_every == 0):
@@ -369,6 +477,10 @@ class Trainer:
                         self.gaussians, self.opt, self.stats = (
                             resize_train_state(self.gaussians, self.opt,
                                                self.stats, new_capacity=cap))
+                # render-prefix upkeep piggybacks on the same host sync
+                if cfg.train.render_prefix:
+                    self._recompact(int(n_alive))
+                self._maybe_bump_tile_capacity(int(ovf_h))
                 self.history.append(rec)
                 if log:
                     log(f"step {rec['step']:6d}  loss {rec['loss']:.4f}  "
