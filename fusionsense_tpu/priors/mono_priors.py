@@ -111,6 +111,23 @@ def default_normal_model(checkpoint: str | Path | None = None
     return DSinePredictor.from_checkpoint(str(path))
 
 
+def default_depth_model(checkpoint: str | Path | None = None
+                        ) -> DepthModel | None:
+    """In-repo mono-depth generator: the Depth-Anything-V2 port (reference
+    drives ZoeDepth via torch.hub in scripts/depth_from_pretrain.py:44;
+    this fills the same mono_depth artifact contract TPU-natively).
+    Returns the predictor when a checkpoint is available (path arg or
+    $DEPTH_ANYTHING_CHECKPOINT), else None."""
+    import os
+
+    path = checkpoint or os.environ.get("DEPTH_ANYTHING_CHECKPOINT")
+    if not path or not Path(path).exists():
+        return None
+    from fusionsense_tpu.priors.depth_anything import DepthAnythingModel
+
+    return DepthAnythingModel.from_checkpoint(str(path))
+
+
 def generate_priors(
     scene_dir,
     depth_model: DepthModel | None = None,
