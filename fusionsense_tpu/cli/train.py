@@ -40,6 +40,9 @@ def build_parser():
     p.add_argument("--mesh", nargs="*", default=["tsdf", "sugar-coarse"],
                    help="mesh methods to extract after training")
     p.add_argument("--skip-eval", action="store_true")
+    p.add_argument("--viewer", action="store_true",
+                   help="serve the live WebGL splat viewer while training")
+    p.add_argument("--viewer-port", type=int, default=7007)
     return p
 
 
@@ -82,6 +85,7 @@ def main(argv=None):
             ),
         ),
         output_dir=str(out),
+        viewer=args.viewer, viewer_port=args.viewer_port,
     )
     pipe = ReconstructionPipeline(cfg)
     pipe.train()

@@ -51,6 +51,8 @@ class PipelineConfig:
     run_hull_pruning: bool = True
     high_grad_export: bool = True
     output_dir: str = "outputs"
+    viewer: bool = False          # serve the live WebGL splat viewer
+    viewer_port: int = 7007
 
 
 class ReconstructionPipeline:
@@ -181,6 +183,16 @@ class ReconstructionPipeline:
                     if log:
                         log(f"high-grad export: {n} points")
             callbacks.append(high_grad_cb)
+
+        if cfg.viewer:
+            from fusionsense_tpu.viewer import (
+                SplatViewerServer, ViewerCallback,
+            )
+
+            self.viewer_server = SplatViewerServer(port=cfg.viewer_port)
+            callbacks.append(ViewerCallback(self.viewer_server))
+            if log:
+                log(f"live viewer at {self.viewer_server.url}")
 
         self.trainer = Trainer(ec, self.camera, self.data, gaussians,
                                scene_scale=1.0, extra_callbacks=callbacks)
