@@ -103,8 +103,20 @@ def main():
     )
     tr = Trainer(cfg, cams, data, init)
 
-    # warmup: compile + settle (2 chunks)
-    tr.run(iterations=2 * CHUNK, log=None)
+    # warmup until the compile-relevant trainer state (capacity bucket,
+    # render prefix, adaptive tile capacity) stops changing AND the first
+    # ADC refine has compiled — a recompile inside the measured window
+    # would swamp the step time (a refine compile alone is ~30 s on the
+    # tunneled chip)
+    adc_cfg = cfg.train.adc
+    min_warm = adc_cfg.warmup + 2 * adc_cfg.refine_every
+    prev = None
+    for _ in range(16):
+        tr.run(iterations=tr.step + 2 * CHUNK, log=None)
+        state = (tr.gaussians.capacity, tr.render_n, tr.tile_capacity)
+        if state == prev and tr.step >= min_warm:
+            break
+        prev = state
     jax.block_until_ready(tr.gaussians.means)
 
     t0 = time.time()
@@ -125,6 +137,8 @@ def main():
             "mpix_per_sec_rasterized": round(mpix_per_sec, 2),
             "num_gaussians": int(tr.gaussians.num_alive),
             "capacity": tr.gaussians.capacity,
+            "render_n": tr.render_n,
+            "tile_capacity": tr.tile_capacity,
             "measured_steps": steps,
             "psnr_last": tr.history[-1]["psnr"] if tr.history else None,
             "tile_overflow_last": (tr.history[-1].get("tile_overflow")

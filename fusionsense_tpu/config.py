@@ -61,7 +61,9 @@ class TrainConfig:
     auto_tile_capacity: bool = True     # grow rasterizer K when tile
     #   overflow starves pixels (keep-nearest-K drops whole sub-regions
     #   once a tile overcommits; see render/binning.py)
-    max_tile_capacity: int = 4096
+    max_tile_capacity: int = 2048   # K-sweep on the bench scene: 2048 is
+    #   quality-saturated (3000-step PSNR 36.44 vs 35.96 at 4096) at half
+    #   the step cost
     tile_overflow_frac: float = 0.02    # bump K when dropped pairs exceed
     #   this fraction of T*K
     camera_opt: bool = False            # optimize SE3 camera deltas

@@ -41,6 +41,11 @@ class TileBins(NamedTuple):
     # scalar: pairs dropped because a Gaussian covered more tiles than the
     # static window allows
     truncated: jax.Array
+    # (N, C) landing position of each (gaussian, window-slot) pair in the
+    # flattened (num_tiles * capacity) tile arrays, -1 if the pair was
+    # dropped — lets gradient transposes run as GATHERS from the gaussian
+    # side instead of scatter-adds (TPU scatters are ~2x slower per row)
+    landing: jax.Array
 
 
 def bin_gaussians(
@@ -108,22 +113,33 @@ def bin_gaussians(
     flat_key = key.reshape(-1)                       # (N*C,)
 
     # ---- one fused sort orders pairs by (tile, depth) ---------------------
-    # sort_key_val carries the gaussian id along with the key — cheaper than
+    # sort_key_val carries the pair id along with the key — cheaper than
     # argsort + two 1M-element gathers
-    gauss_ids = jax.lax.broadcasted_iota(jnp.int32, (N, C), 0).reshape(-1)
-    sorted_key, sorted_gauss = jax.lax.sort_key_val(flat_key, gauss_ids)
+    pair_ids = jax.lax.iota(jnp.int32, N * C)
+    sorted_key, sorted_pair = jax.lax.sort_key_val(flat_key, pair_ids)
     sorted_tile = sorted_key >> depth_bits
 
     # ---- per-tile segments -------------------------------------------------
-    starts = jnp.searchsorted(sorted_tile, jnp.arange(num_tiles, dtype=jnp.int32))
-    ends = jnp.searchsorted(sorted_tile, jnp.arange(1, num_tiles + 1, dtype=jnp.int32))
+    bounds = jnp.searchsorted(sorted_tile,
+                              jnp.arange(num_tiles + 1, dtype=jnp.int32))
+    starts, ends = bounds[:-1], bounds[1:]
     counts = ends - starts
     overflow = jnp.sum(jnp.maximum(counts - K, 0))
 
     slot = jnp.arange(K, dtype=jnp.int32)[None, :]
     gather_idx = jnp.minimum(starts[:, None] + slot, N * C - 1)
-    idx = sorted_gauss[gather_idx]
+    idx = sorted_pair[gather_idx] // C
     mask = slot < counts[:, None]
     idx = jnp.where(mask, idx, -1)
 
-    return TileBins(indices=idx, mask=mask, overflow=overflow, truncated=truncated)
+    # ---- landing map: pair -> flat (tile * K + slot) ----------------------
+    # invert the sort with a second (cheaper: keys are a permutation) sort;
+    # pos[j] = position of pair j in the sorted order
+    _, pos = jax.lax.sort_key_val(sorted_pair, jax.lax.iota(jnp.int32, N * C))
+    my_tile = tile_id.reshape(-1)                        # (N*C,)
+    my_slot = pos - starts[jnp.clip(my_tile, 0, num_tiles - 1)]
+    landed = pair_ok.reshape(-1) & (my_slot < K)
+    landing = jnp.where(landed, my_tile * K + my_slot, -1).reshape(N, C)
+
+    return TileBins(indices=idx, mask=mask, overflow=overflow,
+                    truncated=truncated, landing=landing)
