@@ -23,6 +23,12 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
 
+# persistent compilation cache: most of the suite's wall time is XLA
+# compiles (single-core box); repeat runs hit the cache instead
+jax.config.update("jax_compilation_cache_dir", "/tmp/fusionsense_jax_cache")
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.3)
+
 assert jax.devices()[0].platform == "cpu", (
     "tests must run on the virtual CPU mesh, got: " + str(jax.devices())
 )

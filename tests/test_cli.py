@@ -13,6 +13,7 @@ def scene_dir(tmp_path_factory):
                                  n_views=4, width=64, height=48, n_gt=400)
 
 
+@pytest.mark.slow   # full CLI e2e; fast parse coverage in test_cli_parsers
 def test_fs_train_cli(scene_dir, tmp_path):
     from fusionsense_tpu.cli.train import main
 
@@ -33,6 +34,7 @@ def test_fs_train_cli(scene_dir, tmp_path):
     assert np.isfinite(res["mean"]["psnr"])
 
 
+@pytest.mark.slow   # full CLI e2e; fast parse coverage in test_cli_parsers
 def test_fs_mesh_and_eval_and_render_cli(scene_dir, tmp_path):
     from fusionsense_tpu.cli.train import main as train_main
 
@@ -66,3 +68,19 @@ def test_fs_mesh_and_eval_and_render_cli(scene_dir, tmp_path):
                  "--output-dir", str(tmp_path / "r")])
     assert (tmp_path / "r" / "rgb" / "00000.png").exists()
     assert (tmp_path / "r" / "normal" / "00000.png").exists()
+
+
+def test_cli_parsers():
+    """Fast arg-surface coverage for every CLI (no training)."""
+    from fusionsense_tpu.cli import train as t
+
+    args = t.build_parser().parse_args(
+        ["--data", "/tmp/x", "--iterations", "10", "--viewer",
+         "--backend", "pallas"])
+    assert args.viewer and args.backend == "pallas"
+
+    from fusionsense_tpu.cli import viewer as v
+    import pytest as _pt
+
+    with _pt.raises(SystemExit):
+        v.main([])          # requires --ply or --checkpoint

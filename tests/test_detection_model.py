@@ -97,6 +97,7 @@ def tiny():
     return cfg, params
 
 
+@pytest.mark.slow   # compile-heavy full-model forward; math/converter tests stay fast
 def test_swin_output_shapes():
     from fusionsense_tpu.detection.swin import SwinConfig, SwinTransformer
 
@@ -187,6 +188,7 @@ def test_anchors_and_decode_identity():
     np.testing.assert_allclose(np.asarray(dec), anc, atol=1e-4)
 
 
+@pytest.mark.slow   # compile-heavy full-model forward; math/converter tests stay fast
 def test_glip_forward_shapes(tiny):
     from fusionsense_tpu.detection.model import GLIPModel
 
@@ -205,6 +207,7 @@ def test_glip_forward_shapes(tiny):
         assert dot.shape == (n, T)
 
 
+@pytest.mark.slow   # compile-heavy full-model forward; math/converter tests stay fast
 def test_predictor_end_to_end(tiny):
     from fusionsense_tpu.detection.model import GLIPPredictor
     from fusionsense_tpu.detection.tokenizer import WordPieceTokenizer
@@ -224,6 +227,7 @@ def test_predictor_end_to_end(tiny):
     assert (det.boxes >= -1e-3).all() and (det.boxes <= 64.0).all()
 
 
+@pytest.mark.slow   # shares the compile-heavy tiny-GLIP fixture
 def test_converter_covers_flax_tree(tiny):
     from fusionsense_tpu.detection.convert import (
         build_rules, convert_state_dict,

@@ -18,6 +18,7 @@ def tiny():
     return cfg, model, params
 
 
+@pytest.mark.slow   # compile-heavy encoder forward
 def test_effnet_stage_shapes():
     from fusionsense_tpu.priors.dsine.efficientnet import (
         EfficientNetEncoder, tiny_effnet,
@@ -73,6 +74,7 @@ def test_ray_relu_clamps_cos_to_eps():
                                np.asarray(n_ok), atol=1e-6)
 
 
+@pytest.mark.slow   # shares the compile-heavy tiny-DSINE fixture
 def test_dsine_forward_unit_normals(tiny):
     cfg, model, params = tiny
     rng = np.random.RandomState(0)
@@ -86,6 +88,7 @@ def test_dsine_forward_unit_normals(tiny):
     assert np.isfinite(np.asarray(out)).all()
 
 
+@pytest.mark.slow   # shares the compile-heavy tiny-DSINE fixture
 def test_predictor_pads_and_crops(tiny):
     from fusionsense_tpu.priors.dsine.predictor import DSinePredictor
 
@@ -97,6 +100,7 @@ def test_predictor_pads_and_crops(tiny):
     assert np.isfinite(out).all()
 
 
+@pytest.mark.slow   # shares the compile-heavy tiny-DSINE fixture
 def test_dsine_converter_covers_tree(tiny):
     from fusionsense_tpu.priors.dsine.convert import (
         build_rules, convert_state_dict,

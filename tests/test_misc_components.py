@@ -1,3 +1,4 @@
+import pytest
 import numpy as np
 
 
@@ -43,6 +44,7 @@ def test_generate_priors_from_sensor_depth(tmp_path):
     np.testing.assert_allclose(lens, 1.0, atol=1e-3)
 
 
+@pytest.mark.slow   # evaluator covered by eval tests; batch plumbing is slow-path
 def test_batch_runner(tmp_path):
     from fusionsense_tpu.data.fixture import write_synthetic_scene
     from fusionsense_tpu.eval.batch import BatchJob, run_batch

@@ -34,6 +34,7 @@ def nerf_scene():
     return cams, jnp.stack(imgs), jnp.stack(deps)
 
 
+@pytest.mark.slow   # multi-hundred-step NeRF fit
 def test_nerf_trains(nerf_scene):
     cams, images, depths = nerf_scene
     cfg = NerfConfig(n_levels=8, table_size_log2=14, max_res=128,

@@ -147,6 +147,7 @@ def test_zero1_sharded_optimizer_matches(scene):
                                atol=3e-5, rtol=1e-3)
 
 
+@pytest.mark.slow   # ~2 min; fast coverage: grads-parity test + driver dryrun_multichip
 def test_sharded_trainer_end_to_end_matches_single_device(scene):
     """Full multi-chip training (chunked scan + ADC refine + ZeRO-1 under
     the mesh) reaches single-device PSNR (VERDICT round-1 item 5; reference

@@ -45,6 +45,7 @@ def make_cfg(scene_dir, out_dir, touches=False, iters=120):
     )
 
 
+@pytest.mark.slow   # fast coverage: test_real_capture.test_blob_smoke
 def test_pipeline_trains_and_extracts(scene_dir, tmp_path):
     cfg = make_cfg(scene_dir, tmp_path / "out")
     pipe = ReconstructionPipeline(cfg)
@@ -81,6 +82,7 @@ def pipe_scene_points(pipe, verts):
     return (verts + pipe.scene.translate) * pipe.scene.scale
 
 
+@pytest.mark.slow   # fast coverage: test_real_capture.test_blob_smoke
 def test_pipeline_with_touches(scene_dir, tmp_path):
     cfg = make_cfg(scene_dir, tmp_path / "out_touch", touches=True, iters=80)
     pipe = ReconstructionPipeline(cfg)

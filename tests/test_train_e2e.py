@@ -61,7 +61,7 @@ def test_training_improves_psnr(fixture_scene):
         model=ModelConfig(sh_degree=1, rasterize=rcfg, capacity=1024,
                           binary_opacities=False, sh_degree_interval=50),
         train=TrainConfig(
-            iterations=300, scan_chunk=50,
+            iterations=200, scan_chunk=50,
             adc=ADCConfig(warmup=50, refine_every=50, stop_split_at=280,
                           reset_alpha_every=1000),
         ),
