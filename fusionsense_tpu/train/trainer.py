@@ -351,7 +351,7 @@ class Trainer:
             self.gaussians, self.opt, self.stats)
         want = render_bucket(n_alive, self.gaussians.capacity)
         if (self.render_n is None or want > self.render_n
-                or want * 2.25 <= self.render_n
+                or want * 1.5 <= self.render_n
                 or want == self.gaussians.capacity):
             self.render_n = want
         else:
