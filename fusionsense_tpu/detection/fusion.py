@@ -76,7 +76,9 @@ class BiAttentionBlock(nn.Module):
         ln = nn.LayerNorm(epsilon=1e-5, name="layer_norm_l")(l)
         dv, dl = BiMultiHeadAttention(self.v_dim, self.l_dim, self.embed,
                                       name="attn")(vn, ln, l_mask)
-        return v + gamma_v * dv, l + gamma_l * dl
+        # the reference residual base is the NORMED tensor, not the raw
+        # input (fuse_helper.py single_attention_call:419-426)
+        return vn + gamma_v * dv, ln + gamma_l * dl
 
 
 class VLFuse(nn.Module):

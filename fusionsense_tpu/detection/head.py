@@ -8,13 +8,14 @@ attention fusion, modulated deformable 3x3 + GN, DyReLU) and :560-859
 language embedding, /2 projection, language bias and log-scale temperature,
 logits clamped to +-50000).
 
-Deviation (documented): the reference computes deformable offsets once per
-level and reuses that tensor for the stride-1 conv applied to the coarser
-level (whose output is a different spatial size — the CUDA kernel reads it
-with mismatched strides). Here offsets for that branch are computed at the
-coarser level's own resolution, which is the shape-consistent
-interpretation; with converted weights the offset conv is identical, only
-the sampling grid for the top-down branch differs.
+The reference computes deformable offsets once per level and reuses that
+tensor for the stride-1 conv applied to the coarser level, whose output is
+a smaller spatial size: the CUDA im2col kernel then reads the offset
+buffer as if it were (18, h', w') — i.e. the flat row-major PREFIX of each
+(H, W) channel plane. The published weights were trained under that
+reinterpretation, so `_reinterpret_plane` reproduces it exactly here
+(verified by tests/test_parity_glip.py round-trip vs the reference torch
+sources).
 """
 from __future__ import annotations
 
@@ -74,6 +75,13 @@ class DyConv(nn.Module):
             o = oms[level]
             return o[..., :18], nn.sigmoid(o[..., 18:])
 
+        def _reinterpret_plane(t, h, w):
+            """Read (H, W, C) as the row-major prefix of each channel
+            plane reshaped to (h, w) — the reference CUDA kernel's view of
+            a current-level offset buffer applied at a coarser level."""
+            flat = t.transpose(2, 0, 1).reshape(t.shape[-1], -1)
+            return flat[:, :h * w].reshape(t.shape[-1], h, w).transpose(1, 2, 0)
+
         out = []
         for lv, f in enumerate(feats):
             o, m = om(lv)
@@ -81,7 +89,9 @@ class DyConv(nn.Module):
             if lv > 0:
                 branches.append(conv_down(feats[lv - 1], o, m))
             if lv < n - 1:
-                o2, m2 = om(lv + 1)
+                hc, wc = feats[lv + 1].shape[:2]
+                o2 = _reinterpret_plane(o, hc, wc)
+                m2 = _reinterpret_plane(m, hc, wc)
                 up = conv_up(feats[lv + 1], o2, m2)
                 branches.append(_upsample_bilinear_ac(up, *f.shape[:2]))
             # spatial pyramid attention fusion (vldyhead.py:214-224)

@@ -150,6 +150,8 @@ class ReconstructionPipeline:
             def hull_cb(tr):
                 if tr.step >= ec.train.adc.warmup:
                     tr.gaussians = prune_j(tr.gaussians)
+                    return True
+                return False
             callbacks.append(hull_cb)
 
         if self.scene.touch_patches:
@@ -162,9 +164,12 @@ class ReconstructionPipeline:
                             gel_scale=cfg.gel_scale,
                             scene_scale=self.scene.scale))
                     state["touch_added"] = True
+                    return True
                 elif state["touch_added"]:
                     tr.gaussians = touch_prune(tr.gaussians,
                                                boxes_ref["boxes"])
+                    return True
+                return False
             callbacks.append(touch_cb)
 
         if cfg.high_grad_export:

@@ -32,7 +32,22 @@ def tiny_da() -> DAConfig:
 
 
 def _resize(x, h, w):
-    return jax.image.resize(x, (h, w, x.shape[-1]), method="bilinear")
+    """Bilinear with torch align_corners=True semantics — what upstream
+    DPT uses for every refinenet/output interpolate. jax.image.resize only
+    offers half-pixel sampling, so index directly: out i maps to input
+    i*(H-1)/(h-1)."""
+    H, W, _ = x.shape
+    ys = jnp.linspace(0.0, H - 1.0, h)
+    xs = jnp.linspace(0.0, W - 1.0, w)
+    y0 = jnp.clip(jnp.floor(ys).astype(jnp.int32), 0, max(H - 2, 0))
+    x0 = jnp.clip(jnp.floor(xs).astype(jnp.int32), 0, max(W - 2, 0))
+    wy = (ys - y0)[:, None, None]
+    wx = (xs - x0)[None, :, None]
+    y1 = jnp.minimum(y0 + 1, H - 1)
+    x1 = jnp.minimum(x0 + 1, W - 1)
+    top = x[y0][:, x0] * (1 - wx) + x[y0][:, x1] * wx
+    bot = x[y1][:, x0] * (1 - wx) + x[y1][:, x1] * wx
+    return top * (1 - wy) + bot * wy
 
 
 class ResidualConvUnit(nn.Module):
@@ -93,8 +108,11 @@ class DPTHead(nn.Module):
             p4, l3, out_hw=(l2.shape[0], l2.shape[1]))
         p2 = FusionBlock(c.features, name="refine2")(
             p3, l2, out_hw=(l1.shape[0], l1.shape[1]))
+        # refine1 upsamples 2x from the 4h grid (reference: FeatureFusionBlock
+        # default scale_factor=2) so out_conv1 runs on the 8h grid it was
+        # trained at; the final bilinear resize to (H, W) happens after.
         p1 = FusionBlock(c.features, name="refine1")(
-            p2, l1, out_hw=(h * 7, w * 7))      # patch14 / 2
+            p2, l1, out_hw=(l1.shape[0] * 2, l1.shape[1] * 2))
 
         y = nn.Conv(c.features // 2, (3, 3), padding=1, name="out_conv1")(p1)
         y = _resize(y, out_hw[0], out_hw[1])

@@ -62,9 +62,9 @@ class UpSampleGN(nn.Module):
         up = _bilinear_ac_false(x, *skip.shape[:2])
         y = jnp.concatenate([up, skip], axis=-1)
         y = ConvWS(self.features, name="conv0")(y)
-        y = nn.leaky_relu(nn.GroupNorm(num_groups=8, name="gn0")(y))
+        y = nn.leaky_relu(nn.GroupNorm(num_groups=8, epsilon=1e-5, name="gn0")(y))
         y = ConvWS(self.features, name="conv1")(y)
-        return nn.leaky_relu(nn.GroupNorm(num_groups=8, name="gn1")(y))
+        return nn.leaky_relu(nn.GroupNorm(num_groups=8, epsilon=1e-5, name="gn1")(y))
 
 
 class PredictionHead(nn.Module):
@@ -198,7 +198,7 @@ class DSINE(nn.Module):
         feats = EfficientNetEncoder(c.effnet, name="encoder")(img)
 
         # the reference predictor shifts the principal point by +0.5
-        K = K.at[0, 2].add(0.5).at[1, 2].add(0.5)
+        K = jnp.asarray(K).at[0, 2].add(0.5).at[1, 2].add(0.5)
         uv32 = _uv_grid(K, H // 32, W // 32, H, W)
         uv16 = _uv_grid(K, H // 16, W // 16, H, W)
         uv8 = _uv_grid(K, H // 8, W // 8, H, W)

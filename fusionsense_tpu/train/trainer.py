@@ -433,8 +433,9 @@ class Trainer:
                 )
                 alive_changed = True
             for cb in self.extra_callbacks:
-                cb(self)
-                alive_changed = True   # callbacks may add/prune slots
+                # a callback reports mutation by returning truthy; a bare
+                # observer (viewer, logging) returning None costs nothing
+                alive_changed |= bool(cb(self))
             if alive_changed and cfg.train.render_prefix:
                 # the prefix MUST track the population every time it can
                 # change, not just at log boundaries: alive slots past
