@@ -43,6 +43,9 @@ def build_parser():
     p.add_argument("--viewer", action="store_true",
                    help="serve the live WebGL splat viewer while training")
     p.add_argument("--viewer-port", type=int, default=7007)
+    p.add_argument("--device-mesh", default=None,
+                   help="multi-chip axis spec, e.g. data=2,tile=2,gauss=2 "
+                        "(axes multiply to the device count)")
     return p
 
 
@@ -85,6 +88,7 @@ def main(argv=None):
             ),
         ),
         output_dir=str(out),
+        device_mesh=args.device_mesh,
         viewer=args.viewer, viewer_port=args.viewer_port,
     )
     pipe = ReconstructionPipeline(cfg)

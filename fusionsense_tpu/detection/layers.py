@@ -51,7 +51,9 @@ class Conv3x3Norm(nn.Module):
             y = nn.Conv(self.features, (3, 3),
                         strides=(self.stride, self.stride),
                         padding=[(1, 1), (1, 1)], name="conv")(x[None])[0]
-        return nn.GroupNorm(num_groups=16, epsilon=1e-5, name="gn")(y)
+        # flax GroupNorm treats axis 0 as batch — feed (1, H, W, C) so the
+        # per-group statistics span the whole image like torch's
+        return nn.GroupNorm(num_groups=16, epsilon=1e-5, name="gn")(y[None])[0]
 
 
 class DyReLU(nn.Module):

@@ -39,16 +39,52 @@ from fusionsense_tpu.render.binning import bin_gaussians
 from fusionsense_tpu.render.composite import (
     TileGrid, composite_tiles, pixel_features, tiles_to_image,
 )
+from fusionsense_tpu.core.transforms import apply_se3_delta
 from fusionsense_tpu.render.project import alpha_coefficients, project_gaussians
-from fusionsense_tpu.render.rasterize import gaussian_flat_normals
+from fusionsense_tpu.render.rasterize import RenderOutputs, gaussian_flat_normals
+
+
 from fusionsense_tpu.train import losses as L
 from fusionsense_tpu.train.optim import DEFAULT_GROUPS, adam_step
-from fusionsense_tpu.train.trainer import TrainData, sh_band_mask
+from fusionsense_tpu.train.trainer import TrainData, loss_terms, sh_band_mask
+
+
+@jax.custom_vjp
+def _tile_select_local(table_n, aux):
+    """(N, W) table -> (T_loc, K, W) rows of THIS device's tile block.
+
+    Same backward-as-gather trick as rasterize._tile_select, restricted to
+    the local block: landing entries outside [base, base + T_loc*K) gather
+    zero here and are produced by the owning shard instead (the step_fn
+    psums parameter grads over the tile axis, which sums the per-shard
+    contributions back into the full scatter)."""
+    idx_loc, mask_loc, landing, base = aux
+    return jnp.where(mask_loc[..., None], table_n[idx_loc], 0.0)
+
+
+def _tile_select_local_fwd(table_n, aux):
+    idx_loc, mask_loc, landing, base = aux
+    out = jnp.where(mask_loc[..., None], table_n[idx_loc], 0.0)
+    return out, (landing, base, table_n.shape, mask_loc.shape)
+
+
+def _tile_select_local_bwd(res, g):
+    landing, base, (N, W), (T_loc, K) = res
+    flat = g.reshape(-1, W)
+    l = landing.reshape(-1) - base
+    ok = (l >= 0) & (l < T_loc * K)
+    gp = flat[jnp.where(ok, l, 0)] * ok[:, None]
+    C = landing.shape[1]
+    return gp.reshape(N, C, W).sum(axis=1), None
+
+
+_tile_select_local.defvjp(_tile_select_local_fwd, _tile_select_local_bwd)
 
 
 def _render_local_tiles(gaussians: GaussianState, camera: Camera, cam_idx,
                         cfg: ExperimentConfig, tap, step, tile_axis: str,
-                        gauss_axis: str = "gauss", n_gauss: int = 1):
+                        gauss_axis: str = "gauss", n_gauss: int = 1,
+                        cam_delta=None):
     """Rasterize only this device's tile block — restricted to this
     device's depth slice of the Gaussians when n_gauss > 1. Returns
     (local_tiles (T_loc, P, C+1 last=alpha), proj aux)."""
@@ -60,6 +96,11 @@ def _render_local_tiles(gaussians: GaussianState, camera: Camera, cam_idx,
     colors = colors * sh_band_mask(mc.sh_degree, step,
                                    mc.sh_degree_interval)[None, :, None]
     cam_i = camera.index(cam_idx)
+    if cam_delta is not None:
+        # the reference camera optimizer applied per forward
+        # (dn_model.py:488 camera_optimizer.apply_to_camera)
+        cam_i = cam_i.replace(
+            viewmat=apply_se3_delta(cam_i.viewmat, cam_delta))
     grid = TileGrid(width=camera.width, height=camera.height,
                     tile_size=rcfg.tile_size)
 
@@ -112,27 +153,58 @@ def _render_local_tiles(gaussians: GaussianState, camera: Camera, cam_idx,
     idx_loc = jax.lax.dynamic_slice_in_dim(idx, me * T_loc, T_loc, 0)
     mask_loc = jax.lax.dynamic_slice_in_dim(mask, me * T_loc, T_loc, 0)
 
-    tile_coeff = jnp.where(
-        mask_loc[..., None], coeff[idx_loc],
-        jnp.zeros_like(coeff[idx_loc]).at[..., 5].set(-1e10))
-    tile_chan = jnp.where(mask_loc[..., None], channels[idx_loc], 0.0)
+    if rcfg.backend == "pallas":
+        from fusionsense_tpu.render.pallas_composite2 import (
+            pallas_composite2,
+        )
 
-    feats = pad_tiles(pixel_features(grid))
-    feats_loc = jax.lax.dynamic_slice_in_dim(feats, me * T_loc, T_loc, 0)
+        K = idx.shape[1]
+        nchan = channels.shape[-1]
+        pad_c = (-nchan) % 8
+        log_op = jnp.where(valid, jnp.log(jnp.maximum(opc, 1e-12)), -1e10)
+        cols = [mean2d[:, 0:1], mean2d[:, 1:2], proj.conic[:, 0:1],
+                proj.conic[:, 1:2], proj.conic[:, 2:3], log_op[:, None],
+                jnp.zeros((mean2d.shape[0], 2)), channels]
+        if pad_c:
+            cols.append(jnp.zeros((mean2d.shape[0], pad_c)))
+        table_n = jnp.concatenate(cols, axis=-1)
+        dead = jnp.zeros((table_n.shape[-1],)).at[5].set(-1e10)
+        sel = _tile_select_local(
+            table_n, (idx_loc, mask_loc, bins.landing, me * T_loc * K))
+        tile_table = sel + jnp.where(mask_loc[..., None], 0.0, dead)
+        counts_loc = jnp.sum(mask_loc, axis=-1).astype(jnp.int32)
+        tile_ids = me * T_loc + jnp.arange(T_loc, dtype=jnp.int32)
+        out_loc, alpha_loc = pallas_composite2(
+            tile_table, counts_loc, tile_ids,
+            grid.tiles_x, rcfg.tile_size, rcfg.pallas_chunk,
+            rcfg.blend_bf16)
+        out_loc = out_loc[..., :nchan]
+    else:
+        tile_coeff = jnp.where(
+            mask_loc[..., None], coeff[idx_loc],
+            jnp.zeros_like(coeff[idx_loc]).at[..., 5].set(-1e10))
+        tile_chan = jnp.where(mask_loc[..., None], channels[idx_loc], 0.0)
 
-    out_loc, alpha_loc = composite_tiles(
-        feats_loc, tile_coeff, tile_chan, tile_chunk=rcfg.tile_chunk)
+        feats = pad_tiles(pixel_features(grid))
+        feats_loc = jax.lax.dynamic_slice_in_dim(feats, me * T_loc, T_loc, 0)
+
+        out_loc, alpha_loc = composite_tiles(
+            feats_loc, tile_coeff, tile_chan, tile_chunk=rcfg.tile_chunk)
     local = jnp.concatenate([out_loc, alpha_loc[..., None]], -1)
-    aux = {"radius": proj.radius, "grid": grid, "T": T}
+    aux = {"radius": proj.radius, "grid": grid, "T": T,
+           "overflow": bins.overflow, "cam_i": cam_i,
+           "normals_g": normals_g}
     return local, aux
 
 
 def _sharded_losses(gaussians, camera, data: TrainData, cam_idx, step,
                     cfg: ExperimentConfig, tap, tile_axis: str,
-                    gauss_axis: str = "gauss", n_gauss: int = 1):
+                    gauss_axis: str = "gauss", n_gauss: int = 1,
+                    cam_delta=None):
     local, aux = _render_local_tiles(gaussians, camera, cam_idx, cfg, tap,
                                      step, tile_axis,
-                                     gauss_axis=gauss_axis, n_gauss=n_gauss)
+                                     gauss_axis=gauss_axis, n_gauss=n_gauss,
+                                     cam_delta=cam_delta)
     if n_gauss > 1:
         # merge depth slices front-to-back: shard g's tile block attenuated
         # by the product of the nearer shards' transmittances
@@ -150,26 +222,20 @@ def _sharded_losses(gaussians, camera, data: TrainData, cam_idx, step,
     img = tiles_to_image(full[: aux["T"]], grid)
     rgb, depth, normal, alpha = (img[..., :3], img[..., 3],
                                  img[..., 4:7], img[..., 7])
-    mc, lc = cfg.model, cfg.loss
+    mc = cfg.model
     bg = jnp.asarray(mc.background, jnp.float32)
     rgb = rgb + (1.0 - alpha)[..., None] * bg
 
-    image_gt = data.images[cam_idx]
-    total = L.rgb_loss(rgb, image_gt, None, lc.ssim_lambda)
-    if data.sensor_depths is not None and lc.sensor_depth_lambda > 0:
-        gt_d = data.sensor_depths[cam_idx]
-        valid = (gt_d > lc.depth_tolerance).astype(jnp.float32)
-        total = total + lc.sensor_depth_lambda * L.depth_edge_aware_logl1(
-            depth, gt_d, image_gt, valid)
-    if data.normals is not None and lc.normal_lambda > 0:
-        total = total + lc.normal_lambda * (
-            L.normal_l1(normal, data.normals[cam_idx]) + L.tv_loss(normal))
-    if lc.smooth_lambda > 0:
-        total = total + lc.smooth_lambda * L.edge_aware_tv(depth, image_gt)
-    if lc.flatness_lambda > 0:
-        total = total + lc.flatness_lambda * L.flatness_loss(
-            gaussians.log_scales, gaussians.alive)
-    psnr = -10.0 * jnp.log10(jnp.mean((rgb - image_gt) ** 2) + 1e-10)
+    out = RenderOutputs(rgb=rgb, depth=depth, normal=normal, alpha=alpha,
+                        mean2d=jnp.zeros((1, 2)), radius=aux["radius"],
+                        overflow=aux["overflow"],
+                        truncated=jnp.zeros((), jnp.int32))
+    # the FULL DN-Splatter loss stack — identical objective to the
+    # single-device path (train/trainer.py loss_terms), incl. masks, mono
+    # depth, touch-normal anchoring, sparsity, SDF
+    total, (parts, laux) = loss_terms(
+        out, aux["normals_g"], gaussians, aux["cam_i"], data, cam_idx, step,
+        cfg, gaussians.alive)
     # The full-image loss is computed redundantly on every (tile, gauss)
     # member (each all_gathers the same image). Under check_vma=False the
     # transpose of all_gather is psum_scatter, which SUMS the identical
@@ -180,7 +246,8 @@ def _sharded_losses(gaussians, camera, data: TrainData, cam_idx, step,
     # for BOTH paths; the step_fn recovers the true loss value for metrics
     # with a psum over the same axes.
     n_tile = jax.lax.axis_size(tile_axis)
-    return total / (n_tile * n_gauss), (aux["radius"], psnr)
+    return total / (n_tile * n_gauss), (aux["radius"], laux["psnr"],
+                                        aux["overflow"])
 
 
 def _build_sharded_step(cfg: ExperimentConfig, camera: Camera,
@@ -201,19 +268,40 @@ def _build_sharded_step(cfg: ExperimentConfig, camera: Camera,
     n_data = mesh.shape["data"]
     n_gauss = mesh.shape.get("gauss", 1)
     shard_axes = ("tile", "gauss") if "gauss" in mesh.shape else ("tile",)
+    use_cam_opt = cfg.train.camera_opt
+    from fusionsense_tpu.train.optim import GroupSpec
+    cam_group = {"cam_delta": GroupSpec(cfg.train.camera_opt_lr,
+                                        every_k=cfg.train.camera_opt_every_k,
+                                        eps=1e-8)}
 
-    def step_fn(gaussians, opt, stats, step, cam_indices):
+    def step_fn(gaussians, opt, cam_state, stats, step, cam_indices):
         cam_idx = cam_indices[0]   # local shard has exactly one camera
+        cam_deltas, cam_opt = cam_state
 
-        def loss_fn(params, tap):
+        def loss_fn(params, tap, deltas):
             g = gaussians.replace(**params)
+            delta = deltas[cam_idx] if use_cam_opt else None
             return _sharded_losses(g, camera, data, cam_idx, step, cfg, tap,
-                                   "tile", n_gauss=n_gauss)
+                                   "tile", n_gauss=n_gauss, cam_delta=delta)
 
         tap0 = jnp.zeros((gaussians.capacity, 2))
-        (loss, (radius, psnr)), grads = jax.value_and_grad(
-            loss_fn, argnums=(0, 1), has_aux=True)(gaussians.params(), tap0)
-        param_grads, tap_grad = grads
+        (loss, (radius, psnr, overflow)), grads = jax.value_and_grad(
+            loss_fn, argnums=(0, 1, 2), has_aux=True
+        )(gaussians.params(), tap0, cam_deltas)
+        param_grads, tap_grad, delta_grads = grads
+
+        if use_cam_opt:
+            # each data shard contributes its own camera's row; psum over
+            # shard axes collapses the redundant tile/gauss members, psum
+            # over data merges the disjoint camera rows — then the shared
+            # accumulated-Adam path applies the update replicated
+            delta_grads = jax.lax.psum(
+                jax.lax.psum(delta_grads, shard_axes), "data")
+            cam_p, cam_opt = adam_step(
+                {"cam_delta": cam_deltas}, {"cam_delta": delta_grads},
+                cam_opt, step, jnp.ones(cam_deltas.shape[0], bool),
+                groups=cam_group)
+            cam_deltas = cam_p["cam_delta"]
 
         # gradient reduction: mean over cameras, sum over tile/gauss shards
         tap_grad = jax.lax.pmean(jax.lax.psum(tap_grad, shard_axes), "data")
@@ -261,8 +349,12 @@ def _build_sharded_step(cfg: ExperimentConfig, camera: Camera,
         metrics = {
             "loss": jax.lax.pmean(jax.lax.psum(loss, shard_axes), "data"),
             "psnr": jax.lax.pmean(jax.lax.pmean(psnr, "data"), shard_axes),
+            # overflow telemetry feeds the auto-tile-capacity policy; it is
+            # identical across tile/gauss members, summed over cameras
+            "overflow": jax.lax.pmax(jax.lax.psum(overflow, "data"),
+                                     shard_axes),
         }
-        return g2, opt2, stats2, metrics
+        return g2, opt2, (cam_deltas, cam_opt), stats2, metrics
 
     if shard_optimizer:
         # moments shard along the capacity axis; the per-group update
@@ -279,8 +371,8 @@ def _build_sharded_step(cfg: ExperimentConfig, camera: Camera,
         opt_spec = P()
     sharded = shard_map(
         step_fn, mesh=mesh,
-        in_specs=(P(), opt_spec, P(), P(), P("data")),
-        out_specs=(P(), opt_spec, P(), P()),
+        in_specs=(P(), opt_spec, P(), P(), P(), P("data")),
+        out_specs=(P(), opt_spec, P(), P(), P()),
         # check_vma=False everywhere: with vma tracking ON, cotangents of
         # replicated inputs are auto-psummed over ALL mesh axes, which would
         # double-count on top of the manual psum/pmean reductions here (and
@@ -293,35 +385,51 @@ def _build_sharded_step(cfg: ExperimentConfig, camera: Camera,
     return sharded, opt_spec
 
 
+def _override_tile_capacity(cfg: ExperimentConfig, tile_capacity):
+    if tile_capacity is None or \
+            tile_capacity == cfg.model.rasterize.tile_capacity:
+        return cfg
+    import dataclasses as _dc
+
+    return _dc.replace(cfg, model=_dc.replace(
+        cfg.model, rasterize=_dc.replace(
+            cfg.model.rasterize, tile_capacity=tile_capacity)))
+
+
 def make_sharded_train_step(cfg: ExperimentConfig, camera: Camera,
                             data: TrainData, mesh: Mesh, adam_groups=None,
-                            shard_optimizer: bool = False):
-    sharded, _ = _build_sharded_step(cfg, camera, data, mesh, adam_groups,
-                                     shard_optimizer)
+                            shard_optimizer: bool = False,
+                            tile_capacity=None):
+    sharded, _ = _build_sharded_step(
+        _override_tile_capacity(cfg, tile_capacity), camera, data, mesh,
+        adam_groups, shard_optimizer)
     return jax.jit(sharded)
 
 
 def make_sharded_train_chunk(cfg: ExperimentConfig, camera: Camera,
                              data: TrainData, mesh: Mesh, adam_groups=None,
-                             shard_optimizer: bool = False):
+                             shard_optimizer: bool = False,
+                             tile_capacity=None):
     """Fuse `n` sharded steps into ONE dispatch via lax.scan — the
     multi-chip analog of trainer.make_train_chunk.
 
-    Returns (chunk_fn, opt_spec): chunk_fn(gaussians, opt, stats, step0,
-    cam_indices (n, n_data)) -> (gaussians, opt, stats, metrics (n,)-dicts).
+    Returns (chunk_fn, opt_spec): chunk_fn(gaussians, opt, cam_state,
+    stats, step0, cam_indices (n, n_data)) -> (gaussians, opt, cam_state,
+    stats, metrics (n,)-dicts).
     """
-    sharded, opt_spec = _build_sharded_step(cfg, camera, data, mesh,
-                                            adam_groups, shard_optimizer)
+    sharded, opt_spec = _build_sharded_step(
+        _override_tile_capacity(cfg, tile_capacity), camera, data, mesh,
+        adam_groups, shard_optimizer)
 
     @jax.jit
-    def chunk_fn(gaussians, opt, stats, step0, cam_indices):
+    def chunk_fn(gaussians, opt, cam_state, stats, step0, cam_indices):
         def body(carry, cams):
-            g, o, st, step = carry
-            g, o, st, metrics = sharded(g, o, st, step, cams)
-            return (g, o, st, step + 1), metrics
+            g, o, cs, st, step = carry
+            g, o, cs, st, metrics = sharded(g, o, cs, st, step, cams)
+            return (g, o, cs, st, step + 1), metrics
 
-        (g, o, st, _), metrics = jax.lax.scan(
-            body, (gaussians, opt, stats, step0), cam_indices)
-        return g, o, st, metrics
+        (g, o, cs, st, _), metrics = jax.lax.scan(
+            body, (gaussians, opt, cam_state, stats, step0), cam_indices)
+        return g, o, cs, st, metrics
 
     return chunk_fn, opt_spec

@@ -1,10 +1,11 @@
 """Multi-chip training loop: the full Trainer semantics under a device mesh.
 
 Integrates the SPMD train step (parallel/sharded.py) with the ADC
-refinement, capacity bucketing, and history logging of the single-device
-Trainer (train/trainer.py) — the end-to-end multi-chip path the reference
-only gestures at with its DDP wrapper (reference
-dn_splatter/dn_pipeline.py:161-167; SURVEY.md §7.2 M7).
+refinement, capacity bucketing, camera optimizer, auto tile capacity,
+touch/hull/high-grad callbacks, checkpointing, image logging, and history
+logging of the single-device Trainer (train/trainer.py) — the end-to-end
+multi-chip path the reference only gestures at with its DDP wrapper
+(reference dn_splatter/dn_pipeline.py:161-167; SURVEY.md §7.2 M7).
 
 Refinement and capacity resizing run as ordinary jitted programs on the
 sharded arrays: outside shard_map, XLA GSPMD inserts the collectives that
@@ -44,6 +45,7 @@ class ShardedTrainer:
         scene_scale: float = 1.0,
         adam_groups: Optional[dict] = None,
         shard_optimizer: bool = False,
+        extra_callbacks: Optional[list] = None,
     ):
         self.cfg = cfg
         self.camera = camera
@@ -62,16 +64,39 @@ class ShardedTrainer:
         self.history: list[dict] = []
         self.max_capacity = gaussians.capacity
         self.auto_capacity = cfg.train.auto_capacity
-
-        self._chunk, self._opt_spec = make_sharded_train_chunk(
-            cfg, camera, data, mesh, adam_groups,
-            shard_optimizer=self.shard_optimizer)
+        self.extra_callbacks = extra_callbacks or []
+        self.checkpoint_dir = None
+        self.image_log_dir = None
+        self._debug_render = None
+        self._adam_groups = adam_groups
+        nv = data.images.shape[0]
+        z6 = jnp.zeros((nv, 6))
+        self.cam_state = (z6, init_adam({"cam_delta": z6}))
+        self.tile_capacity = cfg.model.rasterize.tile_capacity
+        self._grid_tiles = (-(-camera.width // cfg.model.rasterize.tile_size)
+                            * -(-camera.height
+                                // cfg.model.rasterize.tile_size))
+        self._chunk_cache: dict = {}
+        self._opt_spec = None
+        _ = self._train_chunk          # build the initial chunk + opt spec
         self._refine = jax.jit(
             lambda g, o, st, seed, step: refine(
                 g, o, st, jax.random.PRNGKey(seed), cfg.train.adc, step,
                 scene_scale=scene_scale))
         if self.shard_optimizer:
             self.opt = self._pin_opt(self.opt)
+
+    @property
+    def _train_chunk(self):
+        key = (self.gaussians.capacity, self.tile_capacity)
+        fn = self._chunk_cache.get(key)
+        if fn is None:
+            fn, self._opt_spec = make_sharded_train_chunk(
+                self.cfg, self.camera, self.data, self.mesh,
+                self._adam_groups, shard_optimizer=self.shard_optimizer,
+                tile_capacity=self.tile_capacity)
+            self._chunk_cache[key] = fn
+        return fn
 
     def _pin_opt(self, opt: AdamState) -> AdamState:
         """Place ZeRO-1 moment shards on their data-axis layout."""
@@ -84,6 +109,21 @@ class ShardedTrainer:
             acc={k: put(v, self._opt_spec.acc[k]) for k, v in opt.acc.items()},
             counts={k: put(v, P()) for k, v in opt.counts.items()},
         )
+
+    def _maybe_bump_tile_capacity(self, overflow: int):
+        """Same keep-nearest-K starvation policy as the single-device
+        trainer (train/trainer.py _maybe_bump_tile_capacity)."""
+        tc = self.cfg.train
+        if not tc.auto_tile_capacity:
+            return
+        budget = self._grid_tiles * self.tile_capacity
+        if overflow <= tc.tile_overflow_frac * budget:
+            return
+        if self.tile_capacity >= tc.max_tile_capacity:
+            return
+        want = int(self.tile_capacity * 1.5)
+        want = -(-want // 128) * 128
+        self.tile_capacity = min(want, tc.max_tile_capacity)
 
     def _cam_indices(self, n: int) -> np.ndarray:
         """(n, n_data) sequential camera schedule: each data shard walks the
@@ -107,30 +147,49 @@ class ShardedTrainer:
                 next_refine = adc.warmup
             n = max(1, min(n, next_refine - self.step))
 
-            g, o, s, metrics = self._chunk(
-                self.gaussians, self.opt, self.stats,
+            g, o, cs, s, metrics = self._train_chunk(
+                self.gaussians, self.opt, self.cam_state, self.stats,
                 np.int32(self.step), self._cam_indices(n))
-            self.gaussians, self.opt, self.stats = g, o, s
+            self.gaussians, self.opt, self.cam_state, self.stats = g, o, cs, s
             self.step += n
 
+            mutated = False
             if (self.step >= adc.warmup and self.step < adc.stop_split_at
                     and (self.step - adc.warmup) % adc.refine_every == 0):
                 seed = np.uint32(cfg.train.seed * 1_000_003 + self.step)
                 self.gaussians, self.opt, self.stats, _ = self._refine(
                     self.gaussians, self.opt, self.stats, seed,
                     np.int32(self.step))
-                if self.shard_optimizer:
-                    self.opt = self._pin_opt(self.opt)
+                mutated = True
+            for cb in self.extra_callbacks:
+                # same protocol as Trainer.extra_callbacks: truthy return
+                # = the store/optimizer was mutated
+                mutated |= bool(cb(self))
+            if mutated and self.shard_optimizer:
+                self.opt = self._pin_opt(self.opt)
+
+            if (self.image_log_dir is not None
+                    and self.step % cfg.train.log_every == 0):
+                self._dump_debug_grid()
+
+            if (self.checkpoint_dir is not None
+                    and self.step % cfg.train.steps_per_save == 0):
+                from fusionsense_tpu.train.checkpoint import save_checkpoint
+
+                save_checkpoint(
+                    f"{self.checkpoint_dir}/ckpt_{self.step}",
+                    self.gaussians, self.opt, self.stats, self.step)
 
             if self.step % cfg.train.log_every == 0 or self.step >= total:
-                loss_h, psnr_h, n_alive = jax.device_get(
+                loss_h, psnr_h, ovf_h, n_alive = jax.device_get(
                     (metrics["loss"][-1], metrics["psnr"][-1],
-                     self.gaussians.num_alive))
+                     metrics["overflow"][-1], self.gaussians.num_alive))
                 rec = {
                     "step": self.step,
                     "loss": float(loss_h),
                     "psnr": float(psnr_h),
                     "num_gaussians": int(n_alive),
+                    "tile_overflow": int(ovf_h),
                     "capacity": self.gaussians.capacity,
                     "elapsed_s": time.time() - t0,
                 }
@@ -146,8 +205,36 @@ class ShardedTrainer:
                                                self.stats, new_capacity=cap))
                         if self.shard_optimizer:
                             self.opt = self._pin_opt(self.opt)
+                self._maybe_bump_tile_capacity(int(ovf_h))
                 self.history.append(rec)
                 if log:
                     log(f"step {rec['step']:6d}  loss {rec['loss']:.4f}  "
                         f"psnr {rec['psnr']:.2f}  n {rec['num_gaussians']}")
         return self.history
+
+    def _dump_debug_grid(self):
+        """GT | rgb | depth | normal strip — same artifact as the
+        single-device trainer's log_images dump."""
+        from pathlib import Path
+
+        from PIL import Image
+
+        if self._debug_render is None:
+            from fusionsense_tpu.eval.evaluator import make_render_fn
+
+            self._debug_render = make_render_fn(
+                self.cfg.model.rasterize, self.camera,
+                self.cfg.model.binary_opacities)
+        i = self.step % self.num_views
+        out = self._debug_render(self.gaussians, np.int32(i))
+        gt = np.asarray(self.data.images[i])
+        rgb = np.clip(np.asarray(out.rgb), 0, 1)
+        d = np.asarray(out.depth)
+        d = (d - d.min()) / max(d.max() - d.min(), 1e-8)
+        depth = np.stack([d] * 3, -1)
+        normal = np.asarray(out.normal) * 0.5 + 0.5
+        grid = np.concatenate([gt, rgb, depth, np.clip(normal, 0, 1)], axis=1)
+        path = Path(self.image_log_dir)
+        path.mkdir(parents=True, exist_ok=True)
+        Image.fromarray((grid * 255).astype(np.uint8)).save(
+            path / f"step_{self.step:06d}.png")

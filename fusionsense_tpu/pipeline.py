@@ -53,6 +53,11 @@ class PipelineConfig:
     output_dir: str = "outputs"
     viewer: bool = False          # serve the live WebGL splat viewer
     viewer_port: int = 7007
+    # multi-chip: "data=2,tile=2,gauss=2"-style axis spec; None = single
+    # device. Training then runs on a jax.sharding.Mesh via ShardedTrainer
+    # (the reference's DDP slot, dn_pipeline.py:161-167, generalized).
+    device_mesh: Optional[str] = None
+    shard_optimizer: bool = True  # ZeRO-1 over the data axis when meshed
 
 
 class ReconstructionPipeline:
@@ -199,8 +204,26 @@ class ReconstructionPipeline:
             if log:
                 log(f"live viewer at {self.viewer_server.url}")
 
-        self.trainer = Trainer(ec, self.camera, self.data, gaussians,
-                               scene_scale=1.0, extra_callbacks=callbacks)
+        if cfg.device_mesh:
+            from fusionsense_tpu.parallel.mesh import make_mesh
+            from fusionsense_tpu.parallel.trainer import ShardedTrainer
+
+            axes = dict(kv.split("=") for kv in cfg.device_mesh.split(","))
+            axes = {k.strip(): int(v) for k, v in axes.items()}
+            n_dev = 1
+            for v in axes.values():
+                n_dev *= v
+            mesh = make_mesh(n_dev, **axes)
+            shard_opt = (cfg.shard_optimizer
+                         and capacity % axes.get("data", 1) == 0)
+            self.trainer = ShardedTrainer(
+                ec, self.camera, self.data, gaussians, mesh,
+                scene_scale=1.0, extra_callbacks=callbacks,
+                shard_optimizer=shard_opt)
+        else:
+            self.trainer = Trainer(ec, self.camera, self.data, gaussians,
+                                   scene_scale=1.0,
+                                   extra_callbacks=callbacks)
         self.trainer.checkpoint_dir = str(self.out)
         self.trainer.image_log_dir = str(self.out / "log_images")
         hist = self.trainer.run(log=log)

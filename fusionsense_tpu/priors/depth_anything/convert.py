@@ -19,8 +19,13 @@ def _conv_w(a):
 
 
 def _convT_w(a):
-    # torch ConvTranspose2d weight (in, out, kh, kw) -> flax (kh, kw, in, out)
-    return np.transpose(a, (2, 3, 0, 1))
+    # torch ConvTranspose2d weight (in, out, kh, kw) -> flax (kh, kw, in,
+    # out) with BOTH spatial dims flipped: flax's conv_transpose
+    # (transpose_kernel=False) correlates with the kernel as-is, while
+    # torch's ConvTranspose2d is the gradient-of-conv (180deg-rotated
+    # taps). Caught by the round-trip harness (a tap placed at (0,1)
+    # lands at (1,0) without the flip).
+    return np.ascontiguousarray(np.transpose(a, (2, 3, 0, 1))[::-1, ::-1])
 
 
 def _lin_w(a):

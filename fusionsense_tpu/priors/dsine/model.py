@@ -61,10 +61,14 @@ class UpSampleGN(nn.Module):
     def __call__(self, x, skip):
         up = _bilinear_ac_false(x, *skip.shape[:2])
         y = jnp.concatenate([up, skip], axis=-1)
+        # flax GroupNorm treats axis 0 as batch — feed (1, H, W, C) so the
+        # per-group statistics span the whole image like torch's
+        gn0 = nn.GroupNorm(num_groups=8, epsilon=1e-5, name="gn0")
+        gn1 = nn.GroupNorm(num_groups=8, epsilon=1e-5, name="gn1")
         y = ConvWS(self.features, name="conv0")(y)
-        y = nn.leaky_relu(nn.GroupNorm(num_groups=8, epsilon=1e-5, name="gn0")(y))
+        y = nn.leaky_relu(gn0(y[None])[0])
         y = ConvWS(self.features, name="conv1")(y)
-        return nn.leaky_relu(nn.GroupNorm(num_groups=8, epsilon=1e-5, name="gn1")(y))
+        return nn.leaky_relu(gn1(y[None])[0])
 
 
 class PredictionHead(nn.Module):

@@ -95,13 +95,30 @@ class NormalsFromDepth:
         return np.asarray(normals_from_depth(jnp.asarray(depth), cam))
 
 
-def default_normal_model(checkpoint: str | Path | None = None
-                         ) -> NormalModel | None:
-    """The reference's default normal prior is DSINE (orchestrator
-    scripts/train.py:101). Returns the TPU-native DSINE predictor when a
-    checkpoint is available (path arg or $DSINE_CHECKPOINT), else None
-    (generate_priors falls back to normals-from-depth)."""
+def default_normal_model(checkpoint: str | Path | None = None,
+                         model_type: str = "dsine",
+                         resolution: str = "low") -> NormalModel | None:
+    """Normal prior selection mirroring the reference's `--model-type
+    {omnidata, dsine}` (+ `--resolution {low, hd}` for omnidata)
+    (dn_splatter/scripts/normals_from_pretrain.py:60-63; orchestrator
+    default is DSINE, scripts/train.py:101). Returns the in-repo predictor
+    when a checkpoint is available (path arg, $DSINE_CHECKPOINT, or
+    $OMNIDATA_CHECKPOINT), else None (generate_priors falls back to
+    normals-from-depth)."""
     import os
+
+    if model_type == "omnidata":
+        path = checkpoint or os.environ.get("OMNIDATA_CHECKPOINT")
+        if not path or not Path(path).exists():
+            return None
+        from fusionsense_tpu.priors.omnidata import OmnidataPredictor
+        from fusionsense_tpu.priors.omnidata.convert import (
+            convert_omnidata_checkpoint,
+        )
+
+        return OmnidataPredictor(
+            params=convert_omnidata_checkpoint(str(path)),
+            resolution=resolution)
 
     path = checkpoint or os.environ.get("DSINE_CHECKPOINT")
     if not path or not Path(path).exists():
@@ -111,16 +128,28 @@ def default_normal_model(checkpoint: str | Path | None = None
     return DSinePredictor.from_checkpoint(str(path))
 
 
-def default_depth_model(checkpoint: str | Path | None = None
-                        ) -> DepthModel | None:
-    """In-repo mono-depth generator: the Depth-Anything-V2 port (reference
-    drives ZoeDepth via torch.hub in scripts/depth_from_pretrain.py:44;
-    this fills the same mono_depth artifact contract TPU-natively).
-    Returns the predictor when a checkpoint is available (path arg or
-    $DEPTH_ANYTHING_CHECKPOINT), else None."""
+def default_depth_model(checkpoint: str | Path | None = None,
+                        model_type: str = "metric3d") -> DepthModel | None:
+    """In-repo mono-depth generators. The orchestrator's default is
+    Metric3D v2 (reference utils/metric3dv2_depth_generation.py:79-81,
+    selected by VRAM); the dn_splatter scripts path uses a hub depth net
+    (depth_from_pretrain.py:44) which the Depth-Anything port fills.
+    Returns the predictor when a checkpoint is available (path arg,
+    $METRIC3D_CHECKPOINT, or $DEPTH_ANYTHING_CHECKPOINT), else falls back
+    to the other model type, else None."""
     import os
 
-    path = checkpoint or os.environ.get("DEPTH_ANYTHING_CHECKPOINT")
+    if model_type == "metric3d":
+        path = checkpoint or os.environ.get("METRIC3D_CHECKPOINT")
+        if path and Path(path).exists():
+            from fusionsense_tpu.priors.metric3d import Metric3DPredictor
+
+            return Metric3DPredictor.from_checkpoint(str(path))
+        if checkpoint:       # explicit path that doesn't exist
+            return None
+
+    path = (None if model_type == "metric3d" else checkpoint) \
+        or os.environ.get("DEPTH_ANYTHING_CHECKPOINT")
     if not path or not Path(path).exists():
         return None
     from fusionsense_tpu.priors.depth_anything import DepthAnythingModel

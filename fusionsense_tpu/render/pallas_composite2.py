@@ -76,12 +76,15 @@ def _alpha_of_chunk(pack_c, px, py):
     return alpha, alive, (dx, dy, ca, cb, cc)
 
 
-def _fwd_kernel(count_ref, tab_ref, out_ref, logt_ref, carry_ref, nused_ref,
+def _fwd_kernel(count_ref, tid_ref, tab_ref, out_ref, logt_ref, carry_ref,
+                nused_ref,
                 *, tiles_x: int, tile_size: int, B: int, K: int, C: int,
                 blend_bf16: bool = False):
     P = tile_size * tile_size
     i = pl.program_id(0)
-    px, py = _pixel_xy(i, tiles_x, tile_size, P)
+    # tid maps the local block row to its GLOBAL tile id, so a sharded
+    # caller can composite its tile slice with correct pixel coordinates
+    px, py = _pixel_xy(tid_ref[i], tiles_x, tile_size, P)
     n_chunks = (count_ref[i] + B - 1) // B
     tril = _tril_ones(B)
 
@@ -122,13 +125,13 @@ def _fwd_kernel(count_ref, tab_ref, out_ref, logt_ref, carry_ref, nused_ref,
     nused_ref[0, :, :] = jnp.full((1, 128), c_fin, jnp.int32)
 
 
-def _bwd_kernel(neff_ref, tab_ref, g_out_ref, g_logt_ref, logt_ref,
-                carry_ref, dtab_ref,
+def _bwd_kernel(neff_ref, tid_ref, tab_ref, g_out_ref, g_logt_ref,
+                logt_ref, carry_ref, dtab_ref,
                 *, tiles_x: int, tile_size: int, B: int, K: int, C: int,
                 blend_bf16: bool = False):
     P = tile_size * tile_size
     i = pl.program_id(0)
-    px, py = _pixel_xy(i, tiles_x, tile_size, P)
+    px, py = _pixel_xy(tid_ref[i], tiles_x, tile_size, P)
     n_eff = neff_ref[i]          # chunks the forward actually composited
     tril = _tril_ones(B)
 
@@ -190,7 +193,8 @@ def _bwd_kernel(neff_ref, tab_ref, g_out_ref, g_logt_ref, logt_ref,
     jax.lax.fori_loop(0, n_eff, bwd_body, jnp.zeros((1, P), jnp.float32))
 
 
-def _run_fwd(table, counts, *, tiles_x, tile_size, B, blend_bf16=False):
+def _run_fwd(table, counts, tile_ids, *, tiles_x, tile_size, B,
+             blend_bf16=False):
     T, K, W = table.shape
     C = W - 8
     P = tile_size * tile_size
@@ -200,15 +204,15 @@ def _run_fwd(table, counts, *, tiles_x, tile_size, B, blend_bf16=False):
     return pl.pallas_call(
         kern,
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=1, grid=(T,),
+            num_scalar_prefetch=2, grid=(T,),
             in_specs=[
-                pl.BlockSpec((1, K, W), lambda i, c: (i, 0, 0)),
+                pl.BlockSpec((1, K, W), lambda i, c, t: (i, 0, 0)),
             ],
             out_specs=[
-                pl.BlockSpec((1, C, P), lambda i, c: (i, 0, 0)),
-                pl.BlockSpec((1, 1, P), lambda i, c: (i, 0, 0)),
-                pl.BlockSpec((1, K // B, P), lambda i, c: (i, 0, 0)),
-                pl.BlockSpec((1, 1, 128), lambda i, c: (i, 0, 0)),
+                pl.BlockSpec((1, C, P), lambda i, c, t: (i, 0, 0)),
+                pl.BlockSpec((1, 1, P), lambda i, c, t: (i, 0, 0)),
+                pl.BlockSpec((1, K // B, P), lambda i, c, t: (i, 0, 0)),
+                pl.BlockSpec((1, 1, 128), lambda i, c, t: (i, 0, 0)),
             ],
         ),
         out_shape=[
@@ -218,10 +222,10 @@ def _run_fwd(table, counts, *, tiles_x, tile_size, B, blend_bf16=False):
             jax.ShapeDtypeStruct((T, 1, 128), jnp.int32),
         ],
         interpret=_interpret(),
-    )(counts, table)
+    )(counts, tile_ids, table)
 
 
-def _run_bwd(table, neff, g_out, g_logt, logt, carries,
+def _run_bwd(table, neff, tile_ids, g_out, g_logt, logt, carries,
              *, tiles_x, tile_size, B, blend_bf16=False):
     T, K, W = table.shape
     C = W - 8
@@ -232,27 +236,27 @@ def _run_bwd(table, neff, g_out, g_logt, logt, carries,
     return pl.pallas_call(
         kern,
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=1, grid=(T,),
+            num_scalar_prefetch=2, grid=(T,),
             in_specs=[
-                pl.BlockSpec((1, K, W), lambda i, c: (i, 0, 0)),
-                pl.BlockSpec((1, C, P), lambda i, c: (i, 0, 0)),
-                pl.BlockSpec((1, 1, P), lambda i, c: (i, 0, 0)),
-                pl.BlockSpec((1, 1, P), lambda i, c: (i, 0, 0)),
-                pl.BlockSpec((1, K // B, P), lambda i, c: (i, 0, 0)),
+                pl.BlockSpec((1, K, W), lambda i, c, t: (i, 0, 0)),
+                pl.BlockSpec((1, C, P), lambda i, c, t: (i, 0, 0)),
+                pl.BlockSpec((1, 1, P), lambda i, c, t: (i, 0, 0)),
+                pl.BlockSpec((1, 1, P), lambda i, c, t: (i, 0, 0)),
+                pl.BlockSpec((1, K // B, P), lambda i, c, t: (i, 0, 0)),
             ],
             out_specs=[
-                pl.BlockSpec((1, K, W), lambda i, c: (i, 0, 0)),
+                pl.BlockSpec((1, K, W), lambda i, c, t: (i, 0, 0)),
             ],
         ),
         out_shape=[
             jax.ShapeDtypeStruct((T, K, W), jnp.float32),
         ],
         interpret=_interpret(),
-    )(neff, table, g_out, g_logt, logt, carries)
+    )(neff, tile_ids, table, g_out, g_logt, logt, carries)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5))
-def pallas_composite2(table, counts, tiles_x, tile_size, B=128,
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
+def pallas_composite2(table, counts, tile_ids, tiles_x, tile_size, B=128,
                       blend_bf16=False):
     """Fused compositing over the single per-tile table.
 
@@ -261,31 +265,34 @@ def pallas_composite2(table, counts, tiles_x, tile_size, B=128,
       The gradient's cols 6, 7 return the per-(tile, slot) |position grad|
       (feed zeros in; gsplat's absgrad comes out of the scatter transpose).
     counts: (T,) int32 live slots per tile.
+    tile_ids: (T,) int32 GLOBAL tile id per table row — arange(T) for a
+      full image, an offset slice when a sharded caller composites only
+      its local tile block.
     Returns (out (T, P, C), alpha (T, P)).
     """
-    out, logt, _, _ = _run_fwd(table, counts, tiles_x=tiles_x,
+    out, logt, _, _ = _run_fwd(table, counts, tile_ids, tiles_x=tiles_x,
                                tile_size=tile_size, B=B,
                                blend_bf16=blend_bf16)
     return jnp.swapaxes(out, 1, 2), 1.0 - jnp.exp(logt[:, 0, :])
 
 
-def _fwd_rule(table, counts, tiles_x, tile_size, B, blend_bf16):
+def _fwd_rule(table, counts, tile_ids, tiles_x, tile_size, B, blend_bf16):
     out, logt, carries, nused = _run_fwd(
-        table, counts, tiles_x=tiles_x, tile_size=tile_size, B=B,
+        table, counts, tile_ids, tiles_x=tiles_x, tile_size=tile_size, B=B,
         blend_bf16=blend_bf16)
     return ((jnp.swapaxes(out, 1, 2), 1.0 - jnp.exp(logt[:, 0, :])),
-            (table, nused[:, 0, 0], logt, carries))
+            (table, nused[:, 0, 0], logt, carries, tile_ids))
 
 
 def _bwd_rule(tiles_x, tile_size, B, blend_bf16, res, g):
-    table, neff, logt, carries = res
+    table, neff, logt, carries, tile_ids = res
     g_out, g_alpha = g
     g_out_t = jnp.swapaxes(g_out, 1, 2)
     g_logt = (-g_alpha)[:, None, :]
-    (dtab,) = _run_bwd(table, neff, g_out_t, g_logt, logt, carries,
-                       tiles_x=tiles_x, tile_size=tile_size, B=B,
+    (dtab,) = _run_bwd(table, neff, tile_ids, g_out_t, g_logt, logt,
+                       carries, tiles_x=tiles_x, tile_size=tile_size, B=B,
                        blend_bf16=blend_bf16)
-    return dtab, None
+    return dtab, None, None
 
 
 pallas_composite2.defvjp(_fwd_rule, _bwd_rule)

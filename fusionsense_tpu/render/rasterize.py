@@ -206,6 +206,7 @@ def rasterize(
         tile_table = sel + jnp.where(bins.mask[..., None], 0.0, dead)
         out_tiled, alpha_tiled = pallas_composite2(
             tile_table, counts,
+            jnp.arange(grid.num_tiles, dtype=jnp.int32),
             grid.tiles_x, cfg.tile_size, cfg.pallas_chunk, cfg.blend_bf16)
         out_tiled = out_tiled[..., :nchan]
     else:

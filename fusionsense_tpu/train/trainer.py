@@ -107,6 +107,19 @@ def compute_losses(
         absgrad_tap=absgrad_tap,
     )
 
+    return loss_terms(out, normals_g, gaussians, cam_i, data, cam_idx,
+                      step, cfg, alive_r, render_n=render_n)
+
+
+def loss_terms(out, normals_g, gaussians, cam_i, data, cam_idx, step, cfg,
+               alive_r, render_n=None):
+    """DN-Splatter loss stack on rendered outputs — shared between the
+    single-device path (compute_losses) and the multi-chip path
+    (parallel/sharded.py), so both optimize the IDENTICAL objective.
+
+    `out` needs .rgb/.depth/.normal/.alpha/.radius/.overflow.
+    """
+    mc, lc = cfg.model, cfg.loss
     image_gt = data.images[cam_idx]
     mask = data.masks[cam_idx][..., None] if data.masks is not None else None
 
@@ -182,8 +195,16 @@ def compute_losses(
     if lc.sdf_lambda > 0:
         from fusionsense_tpu.train.sdf_loss import sdf_loss
 
-        sdfl = sdf_loss(jax.random.PRNGKey(step), means, quats, scales, op,
-                        alive_r, out.depth, cam_i,
+        s_means, s_quats, s_scales, s_op, _ = activated(
+            gaussians,
+            binary_opacity_snap=mc.binary_opacities,
+            opacity_threshold=mc.binary_opacity_threshold)
+        if render_n is not None and render_n < gaussians.capacity:
+            s_means, s_quats, s_scales, s_op = (
+                s_means[:render_n], s_quats[:render_n],
+                s_scales[:render_n], s_op[:render_n])
+        sdfl = sdf_loss(jax.random.PRNGKey(step), s_means, s_quats, s_scales,
+                        s_op, alive_r, out.depth, cam_i,
                         n_samples=lc.sdf_samples)
         parts["sdf"] = sdfl
         total = total + lc.sdf_lambda * sdfl

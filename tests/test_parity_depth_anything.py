@@ -57,7 +57,9 @@ def test_tiny_native_grid_parity():
     _randomize(net)
     got, ref = _round_trip(net, cfg, cfg.vit.native_grid * 14,
                            cfg.vit.native_grid * 14)
-    np.testing.assert_allclose(got, ref, rtol=1e-3, atol=1e-4)
+    # tight: the converter's ConvTranspose flip bug (round 3) sat
+    # exactly at the old rtol=1e-3 — do not loosen this again
+    np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-6)
 
 
 def test_tiny_resampled_grid_parity():

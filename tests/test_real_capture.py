@@ -155,3 +155,33 @@ def test_blob_touch_patch_anchored(blob_run):
     r_x = float(_blob_radius(jnp.asarray([1.0, 0.0, 0.0]), 0.4))
     expected = (np.array([r_x, 0, 0]) + pipe.scene.translate) * pipe.scene.scale
     assert np.linalg.norm(means.mean(0) - expected) < 0.12 * pipe.scene.scale
+
+
+@pytest.mark.slow
+def test_blob_multichip_with_touch_matches_single_device(blob_run,
+                                                         tmp_path_factory):
+    """Full Module 1+3 pipeline on the virtual 8-device mesh
+    (data x tile x gauss) with the pallas compositor: touch patches anchor
+    under the mesh and masked PSNR lands within 0.2 dB of the single-device
+    run (VERDICT round-2 next-round item #2)."""
+    import dataclasses
+
+    scene, pipe, _ = blob_run
+    out = tmp_path_factory.mktemp("blob_mesh_out")
+    exp = pipe.cfg.experiment
+    rcfg = dataclasses.replace(exp.model.rasterize, backend="pallas",
+                               pallas_chunk=128)
+    cfg = dataclasses.replace(
+        pipe.cfg, output_dir=str(out),
+        experiment=dataclasses.replace(
+            exp, model=dataclasses.replace(exp.model, rasterize=rcfg)),
+        device_mesh="data=2,tile=2,gauss=2")
+    pipe2 = ReconstructionPipeline(cfg)
+    hist = pipe2.train(log=None)
+    assert np.isfinite(hist[-1]["loss"])
+    assert np.asarray(pipe2.trainer.gaussians.frozen).sum() > 0, (
+        "touch patch was not anchored under the mesh")
+    res2 = pipe2.evaluate("train")
+    res1 = pipe.evaluate("train")
+    assert res2["mean"]["masked_psnr"] > res1["mean"]["masked_psnr"] - 0.2, (
+        res2["mean"]["masked_psnr"], res1["mean"]["masked_psnr"])

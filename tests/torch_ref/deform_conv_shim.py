@@ -52,6 +52,30 @@ def _dcn_core(x, offset, mask, weight, bias, stride, padding, dilation,
     base_y = torch.arange(oh, dtype=x.dtype, device=x.device) * sh - ph
     base_x = torch.arange(ow, dtype=x.dtype, device=x.device) * sw - pw
 
+    def _sample(img, py, px):
+        """CUDA dmcn_im2col_bilinear: per-corner zero outside (exact at
+        size-1 dims, unlike grid_sample's align_corners mapping)."""
+        y0 = torch.floor(py)
+        x0 = torch.floor(px)
+        ly = (py - y0).unsqueeze(1)
+        lx = (px - x0).unsqueeze(1)
+        y0 = y0.long()
+        x0 = x0.long()
+        out = 0.0
+        for (yi, xi, wt) in ((y0, x0, (1 - ly) * (1 - lx)),
+                             (y0, x0 + 1, (1 - ly) * lx),
+                             (y0 + 1, x0, ly * (1 - lx)),
+                             (y0 + 1, x0 + 1, ly * lx)):
+            ok = ((yi >= 0) & (yi < H) & (xi >= 0) & (xi < W))
+            yc = yi.clamp(0, H - 1)
+            xc = xi.clamp(0, W - 1)
+            flat = img.flatten(2)                      # (N, C', H*W)
+            idx = (yc * W + xc).flatten(1)             # (N, oh*ow)
+            v = flat.gather(2, idx.unsqueeze(1).expand(
+                -1, img.shape[1], -1)).view(*img.shape[:2], *yi.shape[1:])
+            out = out + wt * v * ok.unsqueeze(1)
+        return out
+
     xg = x.view(N, dg, C // dg, H, W)
     col = []                        # dg-major, tap-minor channel blocks
     for g in range(dg):
@@ -60,11 +84,7 @@ def _dcn_core(x, offset, mask, weight, bias, stride, padding, dilation,
             i, j = t // kw, t % kw
             py = base_y[:, None] + i * dh + off[:, g, t, 0]      # (N,oh,ow)
             px = base_x[None, :] + j * dw + off[:, g, t, 1]
-            gy = py / max(H - 1, 1) * 2 - 1
-            gx = px / max(W - 1, 1) * 2 - 1
-            grid = torch.stack([gx, gy], dim=-1)
-            s = F.grid_sample(xg[:, g], grid, mode="bilinear",
-                              padding_mode="zeros", align_corners=True)
+            s = _sample(xg[:, g], py, px)
             if msk is not None:
                 s = s * msk[:, g, t][:, None]
             taps.append(s)

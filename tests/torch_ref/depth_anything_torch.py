@@ -58,10 +58,10 @@ class LayerScale(nn.Module):
 class Block(nn.Module):
     def __init__(self, dim, heads, mlp_ratio=4.0):
         super().__init__()
-        self.norm1 = nn.LayerNorm(dim)
+        self.norm1 = nn.LayerNorm(dim, eps=1e-6)   # DINOv2 uses eps 1e-6
         self.attn = Attention(dim, heads)
         self.ls1 = LayerScale(dim)
-        self.norm2 = nn.LayerNorm(dim)
+        self.norm2 = nn.LayerNorm(dim, eps=1e-6)
         self.mlp = Mlp(dim, int(dim * mlp_ratio))
         self.ls2 = LayerScale(dim)
 
@@ -90,7 +90,7 @@ class DinoViT(nn.Module):
             torch.zeros(1, 1 + native_grid ** 2, dim))
         self.blocks = nn.ModuleList(
             [Block(dim, heads) for _ in range(depth)])
-        self.norm = nn.LayerNorm(dim)
+        self.norm = nn.LayerNorm(dim, eps=1e-6)
 
     def _pos(self, h, w):
         pos = self.pos_embed
