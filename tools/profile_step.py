@@ -1,0 +1,121 @@
+"""Bench-config per-stage step breakdown (the probes behind
+docs/DESIGN.md §5b). Run on the real chip:
+
+    PYTHONPATH=/root/repo:/root/.axon_site python tools/profile_step.py
+"""
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from fusionsense_tpu.config import (
+    ExperimentConfig, LossConfig, ModelConfig, TrainConfig,
+)
+from fusionsense_tpu.data.synthetic import (
+    ring_cameras, sphere_depth_normals, sphere_points,
+)
+from fusionsense_tpu.gaussians.adc import ADCConfig
+from fusionsense_tpu.gaussians.init import init_from_points
+from fusionsense_tpu.gaussians.store import activated
+from fusionsense_tpu.render.binning import bin_gaussians
+from fusionsense_tpu.render.project import project_gaussians
+from fusionsense_tpu.render.rasterize import RasterizeConfig, rasterize
+from fusionsense_tpu.train.trainer import TrainData, Trainer
+
+WIDTH, HEIGHT = 640, 480
+CAP = 1 << 16
+REPS = 20
+
+rcfg = RasterizeConfig(tile_size=32, tile_capacity=1024,
+                       max_tiles_per_gaussian=9, tile_chunk=100,
+                       sh_degree=3, backend="pallas")
+cams = ring_cameras(n_views=9, width=WIDTH, height_px=HEIGHT, focal=550.0)
+pts, rgb, normals = sphere_points(n=30000, radius=0.5)
+g = init_from_points(pts, rgb, capacity=CAP, sh_degree=3,
+                     seed_normals=normals, init_opacity=0.95)
+cam0 = cams.index(0)
+img = jax.jit(lambda: rasterize(*activated(g), cam0, rcfg).rgb)()
+d, n, _ = jax.jit(lambda: sphere_depth_normals(cam0))()
+data = TrainData(images=jnp.stack([img] * 9),
+                 sensor_depths=jnp.stack([d] * 9),
+                 normals=jnp.stack([n] * 9))
+cfg = ExperimentConfig(
+    model=ModelConfig(sh_degree=3, rasterize=rcfg, capacity=CAP,
+                      binary_opacities=False),
+    train=TrainConfig(iterations=15000, scan_chunk=REPS, adc=ADCConfig()),
+    loss=LossConfig())
+tr = Trainer(cfg, cams, data, g)
+
+f = tr._train_chunk
+args = (tr.gaussians, tr.opt, tr.cam_state, tr.stats, jnp.int32(600),
+        jnp.arange(REPS, dtype=jnp.int32) % 9)
+out = f(*args)
+jax.block_until_ready(out[0].means)
+t0 = time.perf_counter()
+out = f(*args)
+jax.block_until_ready(out[0].means)
+dt = (time.perf_counter() - t0) / REPS * 1e3
+print(f"{'full train step (chunk)':42s} {dt:8.3f} ms")
+
+m, q, s, o, c = activated(tr.gaussians)
+N = tr.render_n or CAP
+m, q, s, o, c = m[:N], q[:N], s[:N], o[:N], c[:N]
+print(f"render_n={N} tile_capacity={tr.tile_capacity}")
+
+
+def scan_reps(body, *args):
+    def fn(*a):
+        def step(carry, _):
+            r = body(*a, carry * 1e-30)
+            return r * 1e-30, r
+        _, outs = jax.lax.scan(step, jnp.float32(0), None, length=REPS)
+        return outs
+    fj = jax.jit(fn)
+    jax.block_until_ready(fj(*args))
+    t0 = time.perf_counter()
+    jax.block_until_ready(fj(*args))
+    return (time.perf_counter() - t0) / REPS * 1e3
+
+
+def proj_fwd(m, carry):
+    p = project_gaussians(m + carry, q, s, o, cam0, near=rcfg.near,
+                          far=rcfg.far, eps2d=rcfg.eps2d)
+    return p.mean2d.sum() + p.depth.sum() + p.conic.sum()
+
+
+print(f"{'projection fwd':42s} {scan_reps(proj_fwd, m):8.3f} ms")
+
+proj = jax.jit(lambda: project_gaussians(
+    m, q, s, o, cam0, near=rcfg.near, far=rcfg.far, eps2d=rcfg.eps2d))()
+
+
+def binning_only(mean2d, radius, depth, carry):
+    b = bin_gaussians(mean2d + carry, radius, depth, width=WIDTH,
+                      height=HEIGHT, tile_size=rcfg.tile_size,
+                      tile_capacity=tr.tile_capacity,
+                      max_tiles_per_gaussian=rcfg.max_tiles_per_gaussian)
+    return (b.indices.sum() + b.landing.sum()).astype(jnp.float32)
+
+
+print(f"{'binning (expand+sort+segments+landing)':42s} "
+      f"{scan_reps(binning_only, proj.mean2d, proj.radius, proj.depth):8.3f} ms")
+
+
+def raster_fwd(m, carry):
+    out = rasterize(m + carry, q, s, o, c, cam0, rcfg)
+    return out.rgb.sum() + out.depth.sum()
+
+
+print(f"{'rasterize fwd':42s} {scan_reps(raster_fwd, m):8.3f} ms")
+
+
+def raster_fb(m, carry):
+    def loss(mm):
+        out = rasterize(mm, q, s, o, c, cam0, rcfg)
+        return (out.rgb.sum() + out.depth.sum() + out.normal.sum()
+                + out.alpha.sum())
+    return jax.grad(loss)(m + carry).sum()
+
+
+print(f"{'rasterize f+b':42s} {scan_reps(raster_fb, m):8.3f} ms")
