@@ -113,7 +113,8 @@ def main():
     prev = None
     for _ in range(16):
         tr.run(iterations=tr.step + 2 * CHUNK, log=None)
-        state = (tr.gaussians.capacity, tr.render_n, tr.tile_capacity)
+        state = (tr.gaussians.capacity, tr.render_n, tr.tile_capacity,
+                 tr.cover_tiles)
         if state == prev and tr.step >= min_warm:
             break
         prev = state
@@ -128,6 +129,13 @@ def main():
     iters_per_sec = steps / dt
     mpix_per_sec = iters_per_sec * WIDTH * HEIGHT / 1e6
 
+    # quality at a FIXED horizon (3000 steps), so throughput and quality
+    # come from the same run/configuration (VERDICT r2: no split-brained
+    # bench) — the auto-K/window policies have settled by the measured
+    # window, and the same trainer keeps going to the ledger horizon
+    tr.run(iterations=3000, log=None)
+    psnr_3000 = tr.history[-1]["psnr"] if tr.step >= 3000 else None
+
     print(json.dumps({
         "metric": "train_iters_per_sec_9view_640x480_dn_splatter",
         "value": round(iters_per_sec, 3),
@@ -139,7 +147,9 @@ def main():
             "capacity": tr.gaussians.capacity,
             "render_n": tr.render_n,
             "tile_capacity": tr.tile_capacity,
+            "cover_tiles": tr.cover_tiles,
             "measured_steps": steps,
+            "psnr_3000": psnr_3000,
             "psnr_last": tr.history[-1]["psnr"] if tr.history else None,
             "tile_overflow_last": (tr.history[-1].get("tile_overflow")
                                    if tr.history else None),

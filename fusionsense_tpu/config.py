@@ -66,6 +66,12 @@ class TrainConfig:
     #   the step cost
     tile_overflow_frac: float = 0.02    # bump K when dropped pairs exceed
     #   this fraction of T*K
+    auto_cover_window: bool = True      # size the per-Gaussian tile-cover
+    #   window from truncation telemetry: the binning sort population is
+    #   render_n * window, so a 2x2 window halves the sort vs 3x3 when the
+    #   splats are small enough (they are, after ADC splits settle)
+    cover_trunc_frac: float = 1e-3      # accept a window whose truncated
+    #   pairs stay under this fraction of the render population
     camera_opt: bool = False            # optimize SE3 camera deltas
     camera_opt_lr: float = 1e-3         # reference dn_config camera_opt lr
     camera_opt_every_k: int = 100       # grad accumulation (dn_config.py:29)

@@ -192,8 +192,8 @@ def _render_local_tiles(gaussians: GaussianState, camera: Camera, cam_idx,
             feats_loc, tile_coeff, tile_chan, tile_chunk=rcfg.tile_chunk)
     local = jnp.concatenate([out_loc, alpha_loc[..., None]], -1)
     aux = {"radius": proj.radius, "grid": grid, "T": T,
-           "overflow": bins.overflow, "cam_i": cam_i,
-           "normals_g": normals_g}
+           "overflow": bins.overflow, "trunc_by_win": bins.trunc_by_win,
+           "cam_i": cam_i, "normals_g": normals_g}
     return local, aux
 
 
@@ -229,7 +229,8 @@ def _sharded_losses(gaussians, camera, data: TrainData, cam_idx, step,
     out = RenderOutputs(rgb=rgb, depth=depth, normal=normal, alpha=alpha,
                         mean2d=jnp.zeros((1, 2)), radius=aux["radius"],
                         overflow=aux["overflow"],
-                        truncated=jnp.zeros((), jnp.int32))
+                        truncated=jnp.zeros((), jnp.int32),
+                        trunc_by_win=jnp.zeros((5,), jnp.int32))
     # the FULL DN-Splatter loss stack — identical objective to the
     # single-device path (train/trainer.py loss_terms), incl. masks, mono
     # depth, touch-normal anchoring, sparsity, SDF
@@ -247,7 +248,8 @@ def _sharded_losses(gaussians, camera, data: TrainData, cam_idx, step,
     # with a psum over the same axes.
     n_tile = jax.lax.axis_size(tile_axis)
     return total / (n_tile * n_gauss), (aux["radius"], laux["psnr"],
-                                        aux["overflow"])
+                                        aux["overflow"],
+                                        aux["trunc_by_win"])
 
 
 def _build_sharded_step(cfg: ExperimentConfig, camera: Camera,
@@ -285,9 +287,9 @@ def _build_sharded_step(cfg: ExperimentConfig, camera: Camera,
                                    "tile", n_gauss=n_gauss, cam_delta=delta)
 
         tap0 = jnp.zeros((gaussians.capacity, 2))
-        (loss, (radius, psnr, overflow)), grads = jax.value_and_grad(
-            loss_fn, argnums=(0, 1, 2), has_aux=True
-        )(gaussians.params(), tap0, cam_deltas)
+        (loss, (radius, psnr, overflow, trunc_by_win)), grads = (
+            jax.value_and_grad(loss_fn, argnums=(0, 1, 2), has_aux=True)
+            (gaussians.params(), tap0, cam_deltas))
         param_grads, tap_grad, delta_grads = grads
 
         if use_cam_opt:
@@ -353,6 +355,9 @@ def _build_sharded_step(cfg: ExperimentConfig, camera: Camera,
             # identical across tile/gauss members, summed over cameras
             "overflow": jax.lax.pmax(jax.lax.psum(overflow, "data"),
                                      shard_axes),
+            # max over cameras: the window must fit the worst view
+            "trunc_by_win": jax.lax.pmax(
+                jax.lax.pmax(trunc_by_win, "data"), shard_axes),
         }
         return g2, opt2, (cam_deltas, cam_opt), stats2, metrics
 
@@ -385,31 +390,34 @@ def _build_sharded_step(cfg: ExperimentConfig, camera: Camera,
     return sharded, opt_spec
 
 
-def _override_tile_capacity(cfg: ExperimentConfig, tile_capacity):
-    if tile_capacity is None or \
-            tile_capacity == cfg.model.rasterize.tile_capacity:
-        return cfg
+def _override_tile_capacity(cfg: ExperimentConfig, tile_capacity,
+                            cover_tiles=None):
     import dataclasses as _dc
 
-    return _dc.replace(cfg, model=_dc.replace(
-        cfg.model, rasterize=_dc.replace(
-            cfg.model.rasterize, tile_capacity=tile_capacity)))
+    rc = cfg.model.rasterize
+    if tile_capacity is not None and tile_capacity != rc.tile_capacity:
+        rc = _dc.replace(rc, tile_capacity=tile_capacity)
+    if cover_tiles is not None and cover_tiles != rc.max_tiles_per_gaussian:
+        rc = _dc.replace(rc, max_tiles_per_gaussian=cover_tiles)
+    if rc is cfg.model.rasterize:
+        return cfg
+    return _dc.replace(cfg, model=_dc.replace(cfg.model, rasterize=rc))
 
 
 def make_sharded_train_step(cfg: ExperimentConfig, camera: Camera,
                             data: TrainData, mesh: Mesh, adam_groups=None,
                             shard_optimizer: bool = False,
-                            tile_capacity=None):
+                            tile_capacity=None, cover_tiles=None):
     sharded, _ = _build_sharded_step(
-        _override_tile_capacity(cfg, tile_capacity), camera, data, mesh,
-        adam_groups, shard_optimizer)
+        _override_tile_capacity(cfg, tile_capacity, cover_tiles), camera,
+        data, mesh, adam_groups, shard_optimizer)
     return jax.jit(sharded)
 
 
 def make_sharded_train_chunk(cfg: ExperimentConfig, camera: Camera,
                              data: TrainData, mesh: Mesh, adam_groups=None,
                              shard_optimizer: bool = False,
-                             tile_capacity=None):
+                             tile_capacity=None, cover_tiles=None):
     """Fuse `n` sharded steps into ONE dispatch via lax.scan — the
     multi-chip analog of trainer.make_train_chunk.
 
@@ -418,8 +426,8 @@ def make_sharded_train_chunk(cfg: ExperimentConfig, camera: Camera,
     stats, metrics (n,)-dicts).
     """
     sharded, opt_spec = _build_sharded_step(
-        _override_tile_capacity(cfg, tile_capacity), camera, data, mesh,
-        adam_groups, shard_optimizer)
+        _override_tile_capacity(cfg, tile_capacity, cover_tiles), camera,
+        data, mesh, adam_groups, shard_optimizer)
 
     @jax.jit
     def chunk_fn(gaussians, opt, cam_state, stats, step0, cam_indices):

@@ -73,6 +73,9 @@ class ShardedTrainer:
         z6 = jnp.zeros((nv, 6))
         self.cam_state = (z6, init_adam({"cam_delta": z6}))
         self.tile_capacity = cfg.model.rasterize.tile_capacity
+        cap_tiles = cfg.model.rasterize.max_tiles_per_gaussian
+        self.cover_tiles = (min(4, cap_tiles)
+                            if cfg.train.auto_cover_window else cap_tiles)
         self._grid_tiles = (-(-camera.width // cfg.model.rasterize.tile_size)
                             * -(-camera.height
                                 // cfg.model.rasterize.tile_size))
@@ -88,13 +91,14 @@ class ShardedTrainer:
 
     @property
     def _train_chunk(self):
-        key = (self.gaussians.capacity, self.tile_capacity)
+        key = (self.gaussians.capacity, self.tile_capacity, self.cover_tiles)
         fn = self._chunk_cache.get(key)
         if fn is None:
             fn, self._opt_spec = make_sharded_train_chunk(
                 self.cfg, self.camera, self.data, self.mesh,
                 self._adam_groups, shard_optimizer=self.shard_optimizer,
-                tile_capacity=self.tile_capacity)
+                tile_capacity=self.tile_capacity,
+                cover_tiles=self.cover_tiles)
             self._chunk_cache[key] = fn
         return fn
 
@@ -124,6 +128,26 @@ class ShardedTrainer:
         want = int(self.tile_capacity * 1.5)
         want = -(-want // 128) * 128
         self.tile_capacity = min(want, tc.max_tile_capacity)
+
+    def _maybe_adjust_cover_window(self, trunc_by_win):
+        """Same truncation-telemetry window policy as the single-device
+        trainer (train/trainer.py _maybe_adjust_cover_window)."""
+        import math as _math
+
+        tc = self.cfg.train
+        if not tc.auto_cover_window:
+            return
+        cap_tiles = self.cfg.model.rasterize.max_tiles_per_gaussian
+        tol = tc.cover_trunc_frac * self.gaussians.capacity
+        cur_w = max(1, int(_math.isqrt(self.cover_tiles)))
+        w_max = min(5, max(1, int(_math.isqrt(cap_tiles))))
+        want_w = w_max
+        for w in range(1, w_max + 1):
+            if trunc_by_win[w - 1] <= (tol if w >= cur_w else 0.5 * tol):
+                want_w = w
+                break
+        if want_w != cur_w:
+            self.cover_tiles = want_w * want_w
 
     def _cam_indices(self, n: int) -> np.ndarray:
         """(n, n_data) sequential camera schedule: each data shard walks the
@@ -181,9 +205,10 @@ class ShardedTrainer:
                     self.gaussians, self.opt, self.stats, self.step)
 
             if self.step % cfg.train.log_every == 0 or self.step >= total:
-                loss_h, psnr_h, ovf_h, n_alive = jax.device_get(
+                loss_h, psnr_h, ovf_h, tbw_h, n_alive = jax.device_get(
                     (metrics["loss"][-1], metrics["psnr"][-1],
-                     metrics["overflow"][-1], self.gaussians.num_alive))
+                     metrics["overflow"][-1], metrics["trunc_by_win"][-1],
+                     self.gaussians.num_alive))
                 rec = {
                     "step": self.step,
                     "loss": float(loss_h),
@@ -206,6 +231,7 @@ class ShardedTrainer:
                         if self.shard_optimizer:
                             self.opt = self._pin_opt(self.opt)
                 self._maybe_bump_tile_capacity(int(ovf_h))
+                self._maybe_adjust_cover_window(tbw_h)
                 self.history.append(rec)
                 if log:
                     log(f"step {rec['step']:6d}  loss {rec['loss']:.4f}  "

