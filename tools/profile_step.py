@@ -125,3 +125,63 @@ def raster_fb(m, carry):
 
 
 print(f"{'rasterize f+b':42s} {scan_reps(raster_fb, m):8.3f} ms")
+
+
+# ---- image-space loss stack alone (SSIM + depth + TV + normal), f+b ------
+from fusionsense_tpu.train.trainer import compute_losses, loss_terms  # noqa: E402
+
+out0 = jax.jit(lambda: rasterize(m, q, s, o, c, cam0, rcfg_run))()
+normals_g0 = jax.jit(
+    lambda: jnp.zeros_like(m).at[:, 2].set(1.0))()
+
+
+def losses_fixed_render(rgb, depth, normal, carry):
+    def lf(r, d, n):
+        out = out0._replace(rgb=r, depth=d, normal=n)
+        total, _ = loss_terms(out, normals_g0, tr.gaussians, cam0, data,
+                              jnp.int32(0), jnp.int32(600), cfg,
+                              tr.gaussians.alive[:N], render_n=N)
+        return total
+    gr, gd, gn = jax.grad(lf, argnums=(0, 1, 2))(
+        rgb + carry, depth, normal)
+    return gr.sum() + gd.sum() + gn.sum()
+
+
+print(f"{'loss stack on fixed render f+b':42s} "
+      f"{scan_reps(losses_fixed_render, out0.rgb, out0.depth, out0.normal):8.3f} ms")
+
+
+# ---- full compute_losses f+b wrt all params ------------------------------
+def full_losses_fb(params, carry):
+    def lf(p):
+        p = dict(p)
+        p["means"] = p["means"] + carry
+        g2 = tr.gaussians.replace_params(p)
+        total, _ = compute_losses(g2, cams, data, jnp.int32(0),
+                                  jnp.int32(600), cfg,
+                                  jnp.zeros((N, 2)), render_n=N)
+        return total
+    grads = jax.grad(lf)(params)
+    return sum(v.sum() for v in grads.values())
+
+
+params0 = tr.gaussians.params()
+print(f"{'compute_losses f+b (all params)':42s} "
+      f"{scan_reps(full_losses_fb, params0):8.3f} ms")
+
+
+# ---- optimizer + ADC stats ----------------------------------------------
+from fusionsense_tpu.gaussians.adc import accumulate_stats  # noqa: E402
+from fusionsense_tpu.train.optim import DEFAULT_GROUPS, adam_step  # noqa: E402
+
+
+def opt_stats(params, carry):
+    grads = {k: v * (1e-30 * (1 + carry)) for k, v in params.items()}
+    p2, opt2 = adam_step(params, grads, tr.opt, jnp.int32(600),
+                         tr.gaussians.alive, groups=DEFAULT_GROUPS)
+    st2 = accumulate_stats(tr.stats, jnp.zeros((CAP, 2)),
+                           jnp.zeros((CAP,)), WIDTH, HEIGHT)
+    return (sum(v.sum() for v in p2.values()) + st2.grad2d_acc.sum())
+
+
+print(f"{'adam + stats':42s} {scan_reps(opt_stats, params0):8.3f} ms")
