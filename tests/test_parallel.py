@@ -241,6 +241,86 @@ def test_gauss_depth_sliced_matches_single_device(scene):
                                atol=2e-5, rtol=2e-3)
 
 
+@pytest.mark.slow   # ~3 min; the fast suite covers the pieces separately
+def test_sharded_trainer_touch_anchoring_matches_single_device(scene):
+    """Module 3 (tactile fusion) runs multi-chip: a touch-add callback under
+    the mesh anchors frozen Gaussians mid-training and the run stays within
+    0.2 dB of the identical single-device run (VERDICT round-2 directive #2;
+    reference behavior dn_splatter/dn_model.py:1156-1247 add_touch_patch)."""
+    from fusionsense_tpu.data.tactile import TouchPatch
+    from fusionsense_tpu.gaussians.adc import ADCConfig
+    from fusionsense_tpu.gaussians.touch import add_touch_patches, touch_prune
+    from fusionsense_tpu.parallel.trainer import ShardedTrainer
+    from fusionsense_tpu.train.trainer import Trainer
+
+    cams, data, rcfg = scene
+    cfg = ExperimentConfig(
+        model=ModelConfig(sh_degree=1, rasterize=rcfg, capacity=512,
+                          binary_opacities=False),
+        train=TrainConfig(iterations=300, scan_chunk=50, log_every=100,
+                          auto_capacity=False, add_touch_at=100,
+                          adc=ADCConfig(warmup=100, refine_every=100,
+                                        stop_split_at=250,
+                                        reset_alpha_every=10_000)),
+        loss=LossConfig(normal_lambda=0.1, sensor_depth_lambda=0.2,
+                        smooth_lambda=0.01, touch_normal_lambda=1.0),
+    )
+    key = jax.random.PRNGKey(3)
+    pts, rgb, _ = sphere_points(n=150, radius=0.5)
+    pts = pts + 0.03 * jax.random.normal(key, pts.shape)
+    init = init_from_points(pts, jnp.full_like(rgb, 0.5), capacity=512,
+                            sh_degree=1)
+
+    # tactile patch on the sphere surface (world units; gel_scale=1)
+    rng = np.random.RandomState(1)
+    ppts = (rng.rand(40, 3) - 0.5) * [0.04, 0.04, 0.004] + [0.0, 0.0, 0.5]
+    patch = TouchPatch(
+        points=ppts.astype(np.float32),
+        colors=np.full((40, 3), 0.8, np.float32),
+        normals=np.tile([0.0, 0.0, 1.0], (40, 1)).astype(np.float32),
+        bbox_center=np.array([0.0, 0.0, 0.5], np.float32),
+        bbox_rot=np.eye(3, dtype=np.float32),
+        bbox_extent=np.array([0.021, 0.021, 0.003], np.float32),
+    )
+
+    def make_touch_cb():
+        state = {"added": False, "boxes": None}
+
+        def cb(tr):
+            if not state["added"] and tr.step >= cfg.train.add_touch_at:
+                tr.gaussians, tr.opt, state["boxes"] = add_touch_patches(
+                    tr.gaussians, tr.opt, [patch], gel_scale=1.0,
+                    scene_scale=1.0)
+                state["added"] = True
+                return True
+            if state["added"]:
+                tr.gaussians = touch_prune(tr.gaussians, state["boxes"])
+                return True
+            return False
+
+        return cb
+
+    mesh = make_mesh(8, data=4, tile=2)
+    st = ShardedTrainer(cfg, cams, data, init, mesh, shard_optimizer=True,
+                        extra_callbacks=[make_touch_cb()])
+    hist_sh = st.run(log=None)
+
+    tr = Trainer(cfg, cams, data, init, extra_callbacks=[make_touch_cb()])
+    hist_1 = tr.run(log=None)
+
+    # anchored Gaussians present and frozen in the sharded run
+    assert int(jnp.sum(st.gaussians.frozen)) == 40
+    frozen_ops = jax.nn.sigmoid(
+        st.gaussians.logit_opacities[st.gaussians.frozen])
+    assert float(frozen_ops.min()) > 0.99
+
+    psnr_sh = hist_sh[-1]["psnr"]
+    psnr_1 = hist_1[-1]["psnr"]
+    assert np.isfinite(psnr_sh) and np.isfinite(psnr_1)
+    assert psnr_sh > psnr_1 - 0.2, (
+        f"multi-chip touch run lags single-device: {psnr_sh} vs {psnr_1}")
+
+
 def test_sharded_pallas_backend_matches_jax_backend(scene):
     """The multi-chip step with the pallas compositor (local tile block +
     global tile ids, interpret mode on the CPU mesh) reproduces the XLA
