@@ -39,6 +39,13 @@ MEASURE_CHUNKS = 4
 
 def main():
     import jax
+
+    # persistent compilation cache: on a tunneled TPU a cold chunk compile
+    # is 1-5 min; repeat bench runs at the same shapes hit the cache
+    jax.config.update("jax_compilation_cache_dir", "/tmp/fusionsense_jax_cache")
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.3)
+
     import jax.numpy as jnp
 
     from fusionsense_tpu.config import (

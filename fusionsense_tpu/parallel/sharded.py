@@ -103,6 +103,11 @@ def _render_local_tiles(gaussians: GaussianState, camera: Camera, cam_idx,
             viewmat=apply_se3_delta(cam_i.viewmat, cam_delta))
     grid = TileGrid(width=camera.width, height=camera.height,
                     tile_size=rcfg.tile_size)
+    n_shards = jax.lax.axis_size(tile_axis)
+    me = jax.lax.axis_index(tile_axis)
+    T = grid.num_tiles
+    T_pad = -(-T // n_shards) * n_shards
+    T_loc = T_pad // n_shards
 
     proj = project_gaussians(means, quats, scales, op, cam_i,
                              near=rcfg.near, far=rcfg.far, eps2d=rcfg.eps2d,
@@ -130,6 +135,47 @@ def _render_local_tiles(gaussians: GaussianState, camera: Camera, cam_idx,
     normals_g = gaussian_flat_normals(quats, scales, means, cam_i.origin)
     channels = jnp.concatenate([rgb_g, proj.depth[:, None], normals_g], -1)
 
+    if rcfg.backend == "flat":
+        # per-shard flat segmented layout over the LOCAL tile block: the
+        # landing map is local (-1 for other shards' pairs), so the
+        # parameter-grad psum over the tile axis reassembles the transpose
+        from fusionsense_tpu.render.binning import flat_bin_gaussians
+        from fusionsense_tpu.render.pallas_flat import flat_composite
+        from fusionsense_tpu.render.rasterize import _tile_select
+
+        B = rcfg.pallas_chunk
+        PB = -(-rcfg.tile_capacity * T_loc // B) * B
+        fb = flat_bin_gaussians(
+            jax.lax.stop_gradient(proj.mean2d),
+            jax.lax.stop_gradient(jnp.where(valid, proj.radius, 0.0)),
+            jax.lax.stop_gradient(proj.depth),
+            width=camera.width, height=camera.height,
+            tile_size=rcfg.tile_size, pair_budget=PB,
+            max_tiles_per_gaussian=rcfg.max_tiles_per_gaussian, block=B,
+            tile_lo=me * T_loc, num_tiles_local=T_loc)
+        nchan = channels.shape[-1]
+        pad_c = (-nchan) % 8
+        log_op = jnp.where(valid, jnp.log(jnp.maximum(opc, 1e-12)), -1e10)
+        cols = [mean2d[:, 0:1], mean2d[:, 1:2], proj.conic[:, 0:1],
+                proj.conic[:, 1:2], proj.conic[:, 2:3], log_op[:, None],
+                jnp.zeros((mean2d.shape[0], 2)), channels]
+        if pad_c:
+            cols.append(jnp.zeros((mean2d.shape[0], pad_c)))
+        table_n = jnp.concatenate(cols, axis=-1)
+        dead = jnp.zeros((table_n.shape[-1],)).at[5].set(-1e10)
+        sel = _tile_select(table_n, (fb.gauss_ids, fb.valid, fb.landing))
+        tab_flat = sel + jnp.where(fb.valid[..., None], 0.0, dead)
+        out_loc, alpha_loc = flat_composite(
+            tab_flat, fb.blk_tile, fb.blk_first, fb.blk_count,
+            fb.blk_tile + me * T_loc, T_loc, grid.tiles_x, rcfg.tile_size,
+            B, rcfg.blend_bf16)
+        out_loc = out_loc[..., :nchan]
+        local = jnp.concatenate([out_loc, alpha_loc[..., None]], -1)
+        aux = {"radius": proj.radius, "grid": grid, "T": T,
+               "overflow": fb.overflow, "trunc_by_win": fb.trunc_by_win,
+               "cam_i": cam_i, "normals_g": normals_g}
+        return local, aux
+
     bins = bin_gaussians(
         jax.lax.stop_gradient(proj.mean2d),
         jax.lax.stop_gradient(jnp.where(valid, proj.radius, 0.0)),
@@ -137,12 +183,6 @@ def _render_local_tiles(gaussians: GaussianState, camera: Camera, cam_idx,
         width=camera.width, height=camera.height, tile_size=rcfg.tile_size,
         tile_capacity=rcfg.tile_capacity,
         max_tiles_per_gaussian=rcfg.max_tiles_per_gaussian)
-
-    n_shards = jax.lax.axis_size(tile_axis)
-    me = jax.lax.axis_index(tile_axis)
-    T = grid.num_tiles
-    T_pad = -(-T // n_shards) * n_shards
-    T_loc = T_pad // n_shards
 
     def pad_tiles(x, fill=0.0):
         return jnp.concatenate(

@@ -165,3 +165,176 @@ def bin_gaussians(
     return TileBins(indices=idx, mask=mask, overflow=overflow,
                     truncated=truncated, landing=landing,
                     trunc_by_win=trunc_by_win)
+
+
+class FlatBins(NamedTuple):
+    """Flat segmented pair layout: tiles own variable-length, block-aligned
+    segments of ONE (pair_budget,) array instead of fixed (T, K) rows.
+
+    The dense (T, K) layout sizes EVERY tile at the hottest tile's K — the
+    gather, the kernel's dtab writes, and the elementwise masking all scale
+    with T*K while the true pair population is 1.5-2.5x smaller. Aligning
+    each tile's segment up to the kernel block (128) keeps pallas BlockSpec
+    indexing valid while paying only ~T*B/2 padding. There is no per-tile
+    capacity: overflow happens only when the TOTAL budget is exceeded
+    (keep-nearest-K starvation — VERDICT round-2's quality cliff — cannot
+    happen below budget).
+    """
+
+    gauss_ids: jax.Array    # (PB,) gaussian index per flat slot (clipped)
+    valid: jax.Array        # (PB,) slot holds a live pair
+    blk_tile: jax.Array     # (nb,) local tile of each 128-block; T = dummy
+    blk_first: jax.Array    # (nb,) 1 if first block of its tile run
+    blk_count: jax.Array    # (nb,) live pairs in this block (0..B)
+    landing: jax.Array      # (N, C) pair -> flat slot, -1 if dropped
+    overflow: jax.Array     # scalar: pairs dropped past the budget
+    truncated: jax.Array    # scalar: pairs dropped by the cover window
+    trunc_by_win: jax.Array  # (5,) counterfactual truncation telemetry
+
+
+def flat_bin_gaussians(
+    mean2d: jax.Array,
+    radius: jax.Array,
+    depth: jax.Array,
+    *,
+    width: int,
+    height: int,
+    tile_size: int,
+    pair_budget: int,
+    max_tiles_per_gaussian: int = 16,
+    block: int = 128,
+    tile_lo=0,
+    num_tiles_local: int | None = None,
+) -> FlatBins:
+    """Depth-sorted pairs laid out as block-aligned per-tile segments.
+
+    tile_lo / num_tiles_local restrict the layout to the LOCAL tile block
+    [tile_lo, tile_lo + num_tiles_local) for a tile-sharded caller
+    (parallel/sharded.py): pairs covering other shards' tiles are dropped
+    here (each shard builds its own layout; the landing map stays local and
+    the parameter-gradient psum over the tile axis reassembles the full
+    transpose). tile_lo may be a traced scalar (mesh axis_index).
+    """
+    N = mean2d.shape[0]
+    tiles_x = -(-width // tile_size)
+    tiles_y = -(-height // tile_size)
+    num_tiles_global = tiles_x * tiles_y
+    num_tiles = (num_tiles_global if num_tiles_local is None
+                 else num_tiles_local)
+    B = block
+    PB = pair_budget
+    assert PB % B == 0, "pair_budget must be a multiple of the kernel block"
+    win = max(1, int(math.isqrt(max_tiles_per_gaussian)))
+    C = win * win
+
+    depth_bits = 16
+    assert (num_tiles + 1) << depth_bits < 2 ** 31
+
+    valid = radius > 0
+
+    big = jnp.float32(jnp.finfo(jnp.float32).max)
+    d_safe = jnp.maximum(depth, 1e-12)
+    log_d = jnp.log(jnp.where(valid, d_safe, big))
+    lo = jnp.min(log_d)
+    hi = jnp.max(jnp.where(valid, log_d, -big))
+    span = jnp.maximum(hi - lo, 1e-12)
+    n_q = (1 << depth_bits) - 1
+    rank = jnp.clip(((log_d - lo) / span * n_q), 0, n_q).astype(jnp.int32)
+
+    tx0 = jnp.clip(jnp.floor((mean2d[:, 0] - radius) / tile_size), 0, tiles_x - 1).astype(jnp.int32)
+    tx1 = jnp.clip(jnp.floor((mean2d[:, 0] + radius) / tile_size), 0, tiles_x - 1).astype(jnp.int32)
+    ty0 = jnp.clip(jnp.floor((mean2d[:, 1] - radius) / tile_size), 0, tiles_y - 1).astype(jnp.int32)
+    ty1 = jnp.clip(jnp.floor((mean2d[:, 1] + radius) / tile_size), 0, tiles_y - 1).astype(jnp.int32)
+    bw = tx1 - tx0 + 1
+    bh = ty1 - ty0 + 1
+
+    dx = jnp.arange(win, dtype=jnp.int32)
+    dy = jnp.arange(win, dtype=jnp.int32)
+    tile_id = ((ty0[:, None, None] + dy[None, :, None]) * tiles_x
+               + tx0[:, None, None] + dx[None, None, :])
+    pair_ok = (valid[:, None, None]
+               & (dy[None, :, None] < bh[:, None, None])
+               & (dx[None, None, :] < bw[:, None, None]))
+    cover = jnp.where(valid, jnp.maximum(bw, 0) * jnp.maximum(bh, 0), 0)
+    truncated = jnp.sum(
+        cover - jnp.where(valid,
+                          jnp.minimum(bw, win) * jnp.minimum(bh, win), 0))
+    trunc_by_win = jnp.stack([
+        jnp.sum(cover - jnp.where(
+            valid, jnp.minimum(bw, w) * jnp.minimum(bh, w), 0))
+        for w in range(1, 6)])
+
+    local_id = tile_id - tile_lo
+    pair_ok = pair_ok & (local_id >= 0) & (local_id < num_tiles)
+    lid = jnp.clip(local_id, 0, num_tiles - 1)
+    key = jnp.where(pair_ok,
+                    (lid << depth_bits) | rank[:, None, None],
+                    jnp.int32((num_tiles << depth_bits)))
+    flat_key = key.reshape(-1)
+    pair_ids = jax.lax.iota(jnp.int32, N * C)
+    sorted_key, sorted_pair = jax.lax.sort_key_val(flat_key, pair_ids)
+    sorted_tile = sorted_key >> depth_bits
+
+    # ---- per-tile raw and block-aligned segment offsets (T-sized) ----------
+    bounds = jnp.searchsorted(sorted_tile,
+                              jnp.arange(num_tiles + 1, dtype=jnp.int32))
+    starts, ends = bounds[:-1], bounds[1:]
+    counts = ends - starts                                     # (T,)
+    acounts = ((counts + B - 1) // B) * B
+    astarts = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), jnp.cumsum(acounts)[:-1]]).astype(jnp.int32)
+    total_aligned = astarts[-1] + acounts[-1]
+    overflow = jnp.sum(
+        jnp.maximum(jnp.minimum(astarts + counts, total_aligned)
+                    - jnp.maximum(astarts, PB), 0))
+
+    # ---- block maps (nb-sized, cheap) --------------------------------------
+    nb = PB // B
+    bs = jax.lax.iota(jnp.int32, nb) * B
+    t_of = jnp.clip(
+        jnp.searchsorted(astarts, bs, side="right") - 1, 0, num_tiles - 1
+    ).astype(jnp.int32)
+    real = bs < total_aligned
+    blk_tile = jnp.where(real, t_of, num_tiles)
+    blk_count = jnp.where(
+        real, jnp.clip(counts[t_of] - (bs - astarts[t_of]), 0, B), 0)
+    blk_first = jnp.concatenate([
+        jnp.ones((1,), jnp.int32),
+        (blk_tile[1:] != blk_tile[:-1]).astype(jnp.int32)])
+
+    # ---- flat gaussian ids (ONE narrow gather over the budget) -------------
+    blk_sorted_start = starts[t_of] + (bs - astarts[t_of])
+    sorted_pos = jnp.clip(
+        blk_sorted_start[:, None] + jnp.arange(B, dtype=jnp.int32)[None, :],
+        0, N * C - 1).reshape(-1)
+    gauss_ids = sorted_pair[sorted_pos] // C
+    slot_in_blk = jnp.tile(jnp.arange(B, dtype=jnp.int32), nb)
+    valid_flat = slot_in_blk < jnp.repeat(blk_count, B)
+
+    # ---- landing map: pair -> flat slot, computed IN SORTED ORDER ----------
+    # (same cummax trick as the dense path; the aligned segment start is
+    # propagated from segment heads, where it equals the exclusive cumsum of
+    # block-aligned segment lengths — identical to astarts by construction)
+    i = jax.lax.iota(jnp.int32, N * C)
+    is_start = jnp.concatenate([
+        jnp.ones((1,), jnp.bool_), sorted_tile[1:] != sorted_tile[:-1]])
+    seg_head = jax.lax.cummax(jnp.where(is_start, i, 0))
+    # next segment head strictly after i (reverse cummin of head indices)
+    head_or_inf = jnp.where(is_start, i, N * C)
+    nh_incl = jnp.flip(jax.lax.cummin(jnp.flip(head_or_inf)))
+    nh = jnp.concatenate([nh_incl[1:], jnp.full((1,), N * C, jnp.int32)])
+    seg_alen = jnp.where(is_start, ((nh - i + B - 1) // B) * B, 0)
+    astart_head = jnp.cumsum(seg_alen) - seg_alen          # exclusive
+    astart_elem = jax.lax.cummax(
+        jnp.where(is_start, astart_head, 0)).astype(jnp.int32)
+    flat_pos = astart_elem + (i - seg_head)
+    ok = (sorted_tile < num_tiles) & (flat_pos < PB)
+    landing_sorted = jnp.where(ok, flat_pos, -1)
+    _, landing_flat = jax.lax.sort_key_val(sorted_pair, landing_sorted)
+    landing = landing_flat.reshape(N, C)
+
+    return FlatBins(gauss_ids=gauss_ids, valid=valid_flat,
+                    blk_tile=blk_tile, blk_first=blk_first,
+                    blk_count=blk_count.astype(jnp.int32), landing=landing,
+                    overflow=overflow, truncated=truncated,
+                    trunc_by_win=trunc_by_win)

@@ -75,8 +75,11 @@ class RasterizeConfig:
     antialiased: bool = False
     sh_degree: int = 3
     radius_clip: float = 0.0
-    # compositing backend: "jax" (XLA cumsum formulation) or "pallas"
-    # (fused streaming kernel with early termination; TPU only)
+    # compositing backend: "jax" (XLA cumsum formulation), "pallas" (dense
+    # (T, K) streaming kernel with early termination), or "flat" (block-
+    # aligned segmented pair layout — scales with the LIVE pair population
+    # instead of T*K and has no per-tile capacity cliff; tile_capacity is
+    # reinterpreted as the mean pair budget per tile)
     backend: str = "jax"
     pallas_chunk: int = 128
     # bf16 blend matmuls in the pallas kernel (alpha math stays f32)
@@ -169,6 +172,57 @@ def rasterize(
     channels = jnp.concatenate(
         [rgb_g, proj.depth[:, None], normals], axis=-1
     )  # (N, 7)
+
+    if cfg.backend == "flat":
+        from fusionsense_tpu.render.binning import flat_bin_gaussians
+        from fusionsense_tpu.render.pallas_flat import flat_composite
+
+        B = cfg.pallas_chunk
+        # pair budget: tile_capacity is reinterpreted as MEAN pairs/tile, so
+        # the trainer's auto-capacity policy (overflow-telemetry bump)
+        # carries over unchanged from the dense layout
+        PB = -(-cfg.tile_capacity * grid.num_tiles // B) * B
+        fb = flat_bin_gaussians(
+            jax.lax.stop_gradient(proj.mean2d),
+            jax.lax.stop_gradient(proj.radius),
+            jax.lax.stop_gradient(proj.depth),
+            width=camera.width, height=camera.height,
+            tile_size=cfg.tile_size, pair_budget=PB,
+            max_tiles_per_gaussian=cfg.max_tiles_per_gaussian, block=B,
+        )
+        nchan = channels.shape[-1]
+        pad_c = (-nchan) % 8
+        log_op = jnp.where(proj.valid,
+                           jnp.log(jnp.maximum(op, 1e-12)), -1e10)
+        if absgrad_tap is None:
+            absgrad_tap = jnp.zeros((N, 2))
+        cols = [mean2d[:, 0:1], mean2d[:, 1:2], proj.conic[:, 0:1],
+                proj.conic[:, 1:2], proj.conic[:, 2:3], log_op[:, None],
+                absgrad_tap, channels]
+        if pad_c:
+            cols.append(jnp.zeros((N, pad_c)))
+        table_n = jnp.concatenate(cols, axis=-1)          # (N, 8 + Cpad)
+        dead = jnp.zeros((table_n.shape[-1],)).at[5].set(-1e10)
+        sel = _tile_select(table_n, (fb.gauss_ids, fb.valid, fb.landing))
+        tab_flat = sel + jnp.where(fb.valid[..., None], 0.0, dead)
+        out_tiled, alpha_tiled = flat_composite(
+            tab_flat, fb.blk_tile, fb.blk_first, fb.blk_count,
+            fb.blk_tile, grid.num_tiles, grid.tiles_x, cfg.tile_size,
+            B, cfg.blend_bf16)
+        out_tiled = out_tiled[..., :nchan]
+        img = tiles_to_image(out_tiled, grid)
+        alpha = tiles_to_image(alpha_tiled, grid)
+        rgb = img[..., 0:3]
+        depth = img[..., 3]
+        normal = img[..., 4:7]
+        if background is not None:
+            rgb = rgb + (1.0 - alpha)[..., None] * background
+        return RenderOutputs(
+            rgb=rgb, depth=depth, normal=normal, alpha=alpha,
+            mean2d=proj.mean2d, radius=proj.radius,
+            overflow=fb.overflow, truncated=fb.truncated,
+            trunc_by_win=fb.trunc_by_win,
+        )
 
     # binning runs on non-differentiable integer machinery
     bins = bin_gaussians(

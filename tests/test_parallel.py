@@ -355,3 +355,41 @@ def test_sharded_pallas_backend_matches_jax_backend(scene):
                                np.asarray(opt_j.m["means"]),
                                atol=3e-5, rtol=1e-3)
     assert "overflow" in m_p
+
+
+def test_sharded_flat_backend_matches_jax_backend(scene):
+    """The multi-chip step with the FLAT segmented compositor (per-shard
+    local tile block, local landing map, global tile ids for pixel coords)
+    reproduces the XLA compositor's update."""
+    import dataclasses
+
+    cams, data, rcfg = scene
+    pts, rgb, _ = sphere_points(n=80, radius=0.5)
+    g = init_from_points(pts, rgb, capacity=256, sh_degree=1)
+    opt = init_adam(g.params())
+    stats = init_stats(256)
+    cam_indices = jnp.arange(4, dtype=jnp.int32)
+    mesh = make_mesh(8, data=4, tile=2)
+
+    # jax baseline at K=256 so the per-tile keep-nearest cap never drops —
+    # the flat layout has no per-tile cap, so parity needs a drop-free ref
+    cfg_jax = make_cfg(dataclasses.replace(rcfg, tile_capacity=256))
+    step_jax = make_sharded_train_step(cfg_jax, cams, data, mesh)
+    g_j, opt_j, _, _, m_j = step_jax(g, opt, _cam_state(4), stats,
+                                     jnp.asarray(0), cam_indices)
+
+    rf = dataclasses.replace(rcfg, backend="flat", pallas_chunk=64,
+                             tile_capacity=128)
+    cfg_fl = make_cfg(rf)
+    step_fl = make_sharded_train_step(cfg_fl, cams, data, mesh)
+    g_f, opt_f, _, _, m_f = step_fl(g, opt, _cam_state(4), stats,
+                                    jnp.asarray(0), cam_indices)
+
+    assert np.isfinite(float(m_f["loss"]))
+    np.testing.assert_allclose(float(m_f["loss"]), float(m_j["loss"]),
+                               rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(g_f.means), np.asarray(g_j.means),
+                               atol=3e-5, rtol=1e-3)
+    np.testing.assert_allclose(np.asarray(opt_f.m["means"]),
+                               np.asarray(opt_j.m["means"]),
+                               atol=3e-5, rtol=1e-3)
