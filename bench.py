@@ -60,12 +60,13 @@ def main():
     from fusionsense_tpu.render.rasterize import RasterizeConfig, rasterize
     from fusionsense_tpu.train.trainer import TrainData, Trainer
 
-    # tile 32x32: P=1024 fills the 8x128 VPU tile exactly; K=1024 keeps
-    # per-tile truncation negligible (<1% pixels off vs K=2048 on the
-    # worst-case density scene)
-    rcfg = RasterizeConfig(tile_size=32, tile_capacity=1024,
+    # tile 32x32: P=1024 fills the 8x128 VPU tile exactly. Flat segmented
+    # backend: tile_capacity is the MEAN pair budget per tile; the trainer
+    # resizes it directly from pairs_used telemetry (no per-tile capacity
+    # cliff — measured 23.7 -> 13.3 ms/step vs dense K=1536 at bench scale)
+    rcfg = RasterizeConfig(tile_size=32, tile_capacity=512,
                            max_tiles_per_gaussian=9, tile_chunk=100,
-                           sh_degree=3, backend="pallas")
+                           sh_degree=3, backend="flat")
     cams = ring_cameras(n_views=N_VIEWS, width=WIDTH, height_px=HEIGHT,
                         focal=550.0)
 
@@ -76,18 +77,25 @@ def main():
                           seed_normals=normals, init_opacity=0.95)
     m, q, s, o, c = activated(gt)
 
+    # GT renders get their OWN generous pair budget: the 60k-point GT model
+    # produces ~266k pairs, and flat-budget overflow drops whole trailing
+    # tiles — a corrupted GT silently costs ~9 dB on the quality horizon
+    # (measured), so assert the GT renders dropped nothing
+    import dataclasses
+    gt_rcfg = dataclasses.replace(rcfg, tile_capacity=2048)
     render = jax.jit(
-        lambda vm, fx, fy, cx, cy: rasterize(
-            m, q, s, o, c, cams.index(0).replace(
-                viewmat=vm, fx=fx, fy=fy, cx=cx, cy=cy), rcfg).rgb)
-    depth_fn = None
+        lambda vm, fx, fy, cx, cy: (lambda out: (out.rgb, out.overflow))(
+            rasterize(m, q, s, o, c, cams.index(0).replace(
+                viewmat=vm, fx=fx, fy=fy, cx=cx, cy=cy), gt_rcfg)))
     imgs, deps, nms = [], [], []
     from fusionsense_tpu.data.synthetic import sphere_depth_normals as sdn
     sdn_j = jax.jit(lambda vm, fx, fy, cx, cy: sdn(
         cams.index(0).replace(viewmat=vm, fx=fx, fy=fy, cx=cx, cy=cy)))
     for i in range(N_VIEWS):
         ci = cams.index(i)
-        imgs.append(render(ci.viewmat, ci.fx, ci.fy, ci.cx, ci.cy))
+        img, ovf = render(ci.viewmat, ci.fx, ci.fy, ci.cx, ci.cy)
+        assert int(ovf) == 0, f"GT render view {i} dropped {int(ovf)} pairs"
+        imgs.append(img)
         d, n, _ = sdn_j(ci.viewmat, ci.fx, ci.fy, ci.cx, ci.cy)
         deps.append(d)
         nms.append(n)

@@ -173,7 +173,8 @@ def _render_local_tiles(gaussians: GaussianState, camera: Camera, cam_idx,
         local = jnp.concatenate([out_loc, alpha_loc[..., None]], -1)
         aux = {"radius": proj.radius, "grid": grid, "T": T,
                "overflow": fb.overflow, "trunc_by_win": fb.trunc_by_win,
-               "cam_i": cam_i, "normals_g": normals_g}
+               "pairs_used": fb.used, "cam_i": cam_i,
+               "normals_g": normals_g}
         return local, aux
 
     bins = bin_gaussians(
@@ -233,7 +234,8 @@ def _render_local_tiles(gaussians: GaussianState, camera: Camera, cam_idx,
     local = jnp.concatenate([out_loc, alpha_loc[..., None]], -1)
     aux = {"radius": proj.radius, "grid": grid, "T": T,
            "overflow": bins.overflow, "trunc_by_win": bins.trunc_by_win,
-           "cam_i": cam_i, "normals_g": normals_g}
+           "pairs_used": jnp.zeros((), jnp.int32), "cam_i": cam_i,
+           "normals_g": normals_g}
     return local, aux
 
 
@@ -289,7 +291,8 @@ def _sharded_losses(gaussians, camera, data: TrainData, cam_idx, step,
     n_tile = jax.lax.axis_size(tile_axis)
     return total / (n_tile * n_gauss), (aux["radius"], laux["psnr"],
                                         aux["overflow"],
-                                        aux["trunc_by_win"])
+                                        aux["trunc_by_win"],
+                                        aux["pairs_used"])
 
 
 def _build_sharded_step(cfg: ExperimentConfig, camera: Camera,
@@ -327,7 +330,7 @@ def _build_sharded_step(cfg: ExperimentConfig, camera: Camera,
                                    "tile", n_gauss=n_gauss, cam_delta=delta)
 
         tap0 = jnp.zeros((gaussians.capacity, 2))
-        (loss, (radius, psnr, overflow, trunc_by_win)), grads = (
+        (loss, (radius, psnr, overflow, trunc_by_win, pairs_used)), grads = (
             jax.value_and_grad(loss_fn, argnums=(0, 1, 2), has_aux=True)
             (gaussians.params(), tap0, cam_deltas))
         param_grads, tap_grad, delta_grads = grads
@@ -398,6 +401,9 @@ def _build_sharded_step(cfg: ExperimentConfig, camera: Camera,
             # max over cameras: the window must fit the worst view
             "trunc_by_win": jax.lax.pmax(
                 jax.lax.pmax(trunc_by_win, "data"), shard_axes),
+            # flat backend: worst shard's aligned pair total (budget policy)
+            "pairs_used": jax.lax.pmax(
+                jax.lax.pmax(pairs_used, "data"), shard_axes),
         }
         return g2, opt2, (cam_deltas, cam_opt), stats2, metrics
 

@@ -129,6 +129,22 @@ class ShardedTrainer:
         want = -(-want // 128) * 128
         self.tile_capacity = min(want, tc.max_tile_capacity)
 
+    def _maybe_resize_pair_budget(self, used: int):
+        """Same direct budget sizing as the single-device trainer
+        (train/trainer.py _maybe_resize_pair_budget), per-shard tiles."""
+        tc = self.cfg.train
+        if (self.cfg.model.rasterize.backend != "flat"
+                or not tc.auto_tile_capacity or used <= 0):
+            return
+        n_tile = self.mesh.shape.get("tile", 1)
+        t_loc = -(-self._grid_tiles // n_tile)
+        target = -(-used * 5 // (4 * t_loc) // 64) * 64
+        target = max(64, min(target, tc.max_tile_capacity))
+        if target > self.tile_capacity:
+            self.tile_capacity = target
+        elif target * 2 <= self.tile_capacity:
+            self.tile_capacity = target
+
     def _maybe_adjust_cover_window(self, trunc_by_win):
         """Same truncation-telemetry window policy as the single-device
         trainer (train/trainer.py _maybe_adjust_cover_window)."""
@@ -205,10 +221,10 @@ class ShardedTrainer:
                     self.gaussians, self.opt, self.stats, self.step)
 
             if self.step % cfg.train.log_every == 0 or self.step >= total:
-                loss_h, psnr_h, ovf_h, tbw_h, n_alive = jax.device_get(
+                loss_h, psnr_h, ovf_h, tbw_h, pu_h, n_alive = jax.device_get(
                     (metrics["loss"][-1], metrics["psnr"][-1],
                      metrics["overflow"][-1], metrics["trunc_by_win"][-1],
-                     self.gaussians.num_alive))
+                     metrics["pairs_used"][-1], self.gaussians.num_alive))
                 rec = {
                     "step": self.step,
                     "loss": float(loss_h),
@@ -231,6 +247,7 @@ class ShardedTrainer:
                         if self.shard_optimizer:
                             self.opt = self._pin_opt(self.opt)
                 self._maybe_bump_tile_capacity(int(ovf_h))
+                self._maybe_resize_pair_budget(int(pu_h))
                 self._maybe_adjust_cover_window(tbw_h)
                 self.history.append(rec)
                 if log:

@@ -190,6 +190,8 @@ class FlatBins(NamedTuple):
     overflow: jax.Array     # scalar: pairs dropped past the budget
     truncated: jax.Array    # scalar: pairs dropped by the cover window
     trunc_by_win: jax.Array  # (5,) counterfactual truncation telemetry
+    used: jax.Array         # scalar: block-aligned live pair total (may
+    #                         exceed pair_budget — feeds the budget policy)
 
 
 def flat_bin_gaussians(
@@ -337,4 +339,4 @@ def flat_bin_gaussians(
                     blk_tile=blk_tile, blk_first=blk_first,
                     blk_count=blk_count.astype(jnp.int32), landing=landing,
                     overflow=overflow, truncated=truncated,
-                    trunc_by_win=trunc_by_win)
+                    trunc_by_win=trunc_by_win, used=total_aligned)

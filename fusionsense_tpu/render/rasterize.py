@@ -96,6 +96,8 @@ class RenderOutputs(NamedTuple):
     overflow: jax.Array   # scalar: tile-capacity overflow pair count
     truncated: jax.Array  # scalar: per-Gaussian tile-cover truncation count
     trunc_by_win: jax.Array  # (5,) counterfactual truncation at windows 1..5
+    # flat backend only: block-aligned live pair total (budget policy input)
+    pairs_used: int = 0
 
 
 def gaussian_flat_normals(
@@ -221,7 +223,7 @@ def rasterize(
             rgb=rgb, depth=depth, normal=normal, alpha=alpha,
             mean2d=proj.mean2d, radius=proj.radius,
             overflow=fb.overflow, truncated=fb.truncated,
-            trunc_by_win=fb.trunc_by_win,
+            trunc_by_win=fb.trunc_by_win, pairs_used=fb.used,
         )
 
     # binning runs on non-differentiable integer machinery

@@ -215,6 +215,7 @@ def loss_terms(out, normals_g, gaussians, cam_i, data, cam_idx, step, cfg,
         "psnr": -10.0 * jnp.log10(jnp.mean((out.rgb - image_gt) ** 2) + 1e-10),
         "overflow": out.overflow,
         "trunc_by_win": out.trunc_by_win,
+        "pairs_used": getattr(out, "pairs_used", 0),
     }
     return total, (parts, aux)
 
@@ -296,7 +297,8 @@ def make_train_chunk(cfg: ExperimentConfig, camera: Camera, data: TrainData,
                                   camera.width, camera.height)
         metrics = {"loss": loss, "psnr": aux["psnr"],
                    "overflow": aux["overflow"],
-                   "trunc_by_win": aux["trunc_by_win"]}
+                   "trunc_by_win": aux["trunc_by_win"],
+                   "pairs_used": aux["pairs_used"]}
         return (gaussians2, opt2, (cam_deltas, cam_opt),
                 stats2, step + 1), metrics
 
@@ -425,6 +427,30 @@ class Trainer:
         want = -(-want // 128) * 128
         self.tile_capacity = min(want, tc.max_tile_capacity)
 
+    def _maybe_resize_pair_budget(self, used: int):
+        """Flat backend: size the pair budget DIRECTLY from telemetry.
+
+        `used` is the block-aligned live pair total (FlatBins.used),
+        reported even when it exceeds the current budget — so one resize
+        jumps straight to the right size instead of walking the x1.5
+        overflow ladder (each step is a chunk recompile). Oversizing costs
+        linearly (the gather/kernel/dtab all scale with the budget:
+        13.3 -> 19.8 ms when 2x oversized at bench scale), so the budget
+        also SHRINKS, with hysteresis.
+        """
+        tc = self.cfg.train
+        if (self.cfg.model.rasterize.backend != "flat"
+                or not tc.auto_tile_capacity or used <= 0):
+            return
+        T = self._grid_tiles
+        # 1.25x headroom, 64-pairs/tile granularity to bound recompiles
+        target = -(-used * 5 // (4 * T) // 64) * 64
+        target = max(64, min(target, tc.max_tile_capacity))
+        if target > self.tile_capacity:
+            self.tile_capacity = target
+        elif target * 2 <= self.tile_capacity:
+            self.tile_capacity = target
+
     def _maybe_adjust_cover_window(self, trunc_by_win):
         """Pick the smallest cover window whose truncation is negligible.
 
@@ -517,10 +543,10 @@ class Trainer:
 
             if self.step % cfg.train.log_every == 0 or self.step >= total:
                 # ONE device->host transfer for all logged scalars
-                loss_h, psnr_h, ovf_h, tbw_h, n_alive = jax.device_get(
+                loss_h, psnr_h, ovf_h, tbw_h, pu_h, n_alive = jax.device_get(
                     (metrics["loss"][-1], metrics["psnr"][-1],
                      metrics["overflow"][-1], metrics["trunc_by_win"][-1],
-                     self.gaussians.num_alive))
+                     metrics["pairs_used"][-1], self.gaussians.num_alive))
                 rec = {
                     "step": self.step,
                     "loss": float(loss_h),
@@ -543,6 +569,7 @@ class Trainer:
                 if cfg.train.render_prefix:
                     self._recompact(int(n_alive))
                 self._maybe_bump_tile_capacity(int(ovf_h))
+                self._maybe_resize_pair_budget(int(pu_h))
                 self._maybe_adjust_cover_window(tbw_h)
                 self.history.append(rec)
                 if log:
