@@ -118,7 +118,9 @@ class ShardedTrainer:
         """Same keep-nearest-K starvation policy as the single-device
         trainer (train/trainer.py _maybe_bump_tile_capacity)."""
         tc = self.cfg.train
-        if not tc.auto_tile_capacity:
+        # flat backend: the direct pair-budget resize subsumes the ladder
+        if (not tc.auto_tile_capacity
+                or self.cfg.model.rasterize.backend == "flat"):
             return
         budget = self._grid_tiles * self.tile_capacity
         if overflow <= tc.tile_overflow_frac * budget:

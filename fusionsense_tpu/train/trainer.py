@@ -416,7 +416,10 @@ class Trainer:
         exceed tile_overflow_frac of the T*K budget.
         """
         tc = self.cfg.train
-        if not tc.auto_tile_capacity:
+        # flat backend: _maybe_resize_pair_budget sizes the budget directly
+        # from pairs_used; letting the 1.5x ladder ALSO fire can overshoot
+        # past the direct target and then stick (shrink needs 2x hysteresis)
+        if not tc.auto_tile_capacity or self._is_flat:
             return
         budget = self._grid_tiles * self.tile_capacity
         if overflow <= tc.tile_overflow_frac * budget:
@@ -426,6 +429,10 @@ class Trainer:
         want = int(self.tile_capacity * 1.5)
         want = -(-want // 128) * 128
         self.tile_capacity = min(want, tc.max_tile_capacity)
+
+    @property
+    def _is_flat(self) -> bool:
+        return self.cfg.model.rasterize.backend == "flat"
 
     def _maybe_resize_pair_budget(self, used: int):
         """Flat backend: size the pair budget DIRECTLY from telemetry.
