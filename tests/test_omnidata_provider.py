@@ -1,6 +1,7 @@
 """Omnidata provider mechanics: HD patch merge + predictor wiring
 (reference normals_from_pretrain.py:238-283, 656-780)."""
 import numpy as np
+import pytest
 
 from fusionsense_tpu.priors.omnidata.hd_merge import (
     align_normal_x, best_fit_rotation, crop_grid, merge_patches,
@@ -69,7 +70,12 @@ def test_best_fit_rotation_recovers_rotation():
     np.testing.assert_allclose(R, R_true, atol=1e-8)
 
 
+@pytest.mark.slow
 def test_predictor_low_res_smoke():
+    """slow tier: one real 384x384 tiny-net forward (~50 s single-core CPU).
+    The fast tier covers the wrapper logic with a stubbed patch runner
+    (test_predictor_wrapper_fast) and the net itself via the omnidata
+    parity tests."""
     import jax
 
     from fusionsense_tpu.priors.omnidata import (
@@ -86,6 +92,39 @@ def test_predictor_low_res_smoke():
     assert n.shape == (96, 128, 3)
     norms = np.linalg.norm(n, axis=-1)
     np.testing.assert_allclose(norms, 1.0, atol=1e-4)
+
+
+def test_predictor_wrapper_fast(monkeypatch):
+    """Wrapper contract without a real net forward: uint8 scaling, the
+    384x384 canonical resize round-trip, [0,1]->[-1,1] decode, unit-norm
+    output — _run_patch is stubbed with a constant field."""
+    from fusionsense_tpu.priors.omnidata import (
+        OmnidataPredictor, tiny_omni,
+    )
+    from fusionsense_tpu.priors.omnidata import predictor as pmod
+
+    const = np.array([0.3, -0.4, 0.866], np.float32)
+
+    def fake_run_patch(self, rgb01):
+        assert rgb01.shape == (pmod.IMAGE_SIZE, pmod.IMAGE_SIZE, 3)
+        assert 0.0 <= rgb01.min() and rgb01.max() <= 1.0 + 1e-6
+        out = np.broadcast_to(
+            const[:, None, None],
+            (3, pmod.IMAGE_SIZE, pmod.IMAGE_SIZE)).copy()
+        return out / np.linalg.norm(out, axis=0, keepdims=True)
+
+    monkeypatch.setattr(pmod.OmnidataPredictor, "_run_patch",
+                        fake_run_patch)
+    pred = OmnidataPredictor(params={}, cfg=tiny_omni(), resolution="low")
+    rng = np.random.default_rng(0)
+    img = (rng.uniform(size=(96, 128, 3)) * 255).astype(np.uint8)
+    n = pred.predict_normals(img)
+    assert n.shape == (96, 128, 3)
+    np.testing.assert_allclose(np.linalg.norm(n, axis=-1), 1.0, atol=1e-4)
+    # a constant field survives the resize round-trip exactly
+    np.testing.assert_allclose(
+        n, np.broadcast_to(const / np.linalg.norm(const), n.shape),
+        atol=1e-4)
 
 
 def test_model_type_selection(tmp_path, monkeypatch):
