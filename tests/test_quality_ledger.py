@@ -50,16 +50,25 @@ def _sphere_run(width, height, n_seed, capacity, iters, tile_capacity,
     gt = init_from_points(pts, rgb, capacity=capacity, sh_degree=sh_degree,
                           seed_normals=normals, init_opacity=0.95)
     m, q, s, o, c = activated(gt)
+    # flat backend: GT renders get their own generous pair budget exactly
+    # as bench.py does — flat-budget overflow drops whole trailing tiles
+    # and silently corrupts the training target. (Dense backends keep rcfg:
+    # their (T,P,K) formulation scales memory with K.)
+    gt_rcfg = (dataclasses.replace(rcfg, tile_capacity=max(2048,
+                                                           tile_capacity))
+               if backend == "flat" else rcfg)
     render = jax.jit(
-        lambda vm, fx, fy, cx, cy: rasterize(
-            m, q, s, o, c, cams.index(0).replace(
-                viewmat=vm, fx=fx, fy=fy, cx=cx, cy=cy), rcfg).rgb)
+        lambda vm, fx, fy, cx, cy: (lambda out: (out.rgb, out.overflow))(
+            rasterize(m, q, s, o, c, cams.index(0).replace(
+                viewmat=vm, fx=fx, fy=fy, cx=cx, cy=cy), gt_rcfg)))
     sdn = jax.jit(lambda vm, fx, fy, cx, cy: sphere_depth_normals(
         cams.index(0).replace(viewmat=vm, fx=fx, fy=fy, cx=cx, cy=cy)))
     imgs, deps, nms = [], [], []
     for i in range(9):
         ci = cams.index(i)
-        imgs.append(render(ci.viewmat, ci.fx, ci.fy, ci.cx, ci.cy))
+        img, ovf = render(ci.viewmat, ci.fx, ci.fy, ci.cx, ci.cy)
+        assert int(ovf) == 0, f"GT render view {i} dropped {int(ovf)} pairs"
+        imgs.append(img)
         d, n, _ = sdn(ci.viewmat, ci.fx, ci.fy, ci.cx, ci.cy)
         deps.append(d)
         nms.append(n)
@@ -111,9 +120,12 @@ def test_sphere_3000_quality_ledger():
     """The BASELINE.md quality table, as an assertion (TPU tier)."""
     if jax.default_backend() == "cpu":
         pytest.skip("ledger tier pins TPU trajectory; CPU tier below")
+    # SAME configuration as bench.py (flat segmented backend, 512 mean
+    # pairs/tile starting budget, auto policies) — the ledger pins the
+    # bench run's quality, not a parallel configuration
     tr, cams = _sphere_run(width=640, height=480, n_seed=60_000,
                            capacity=1 << 17, iters=3000,
-                           tile_capacity=1024, backend="pallas")
+                           tile_capacity=512, backend="flat")
     psnr = tr.history[-1]["psnr"]
     assert psnr > 34.5, f"3000-step PSNR regressed: {psnr} (ledger 35.96)"
     res = _tsdf_chamfer(tr, cams)
