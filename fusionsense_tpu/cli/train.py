@@ -35,7 +35,14 @@ def build_parser():
                    action="store_false")
     p.add_argument("--downscale-factor", type=int, default=1)
     p.add_argument("--tile-capacity", type=int, default=512)
-    p.add_argument("--backend", choices=["jax", "pallas"], default="jax")
+    p.add_argument("--backend", choices=["jax", "pallas", "flat"],
+                   default="jax",
+                   help="compositing backend: jax (XLA, any device), pallas "
+                        "(dense-tile kernel), flat (segmented-pair kernel — "
+                        "the production TPU path)")
+    p.add_argument("--resume", default=None, metavar="CKPT",
+                   help="resume mid-training from a saved checkpoint "
+                        "(restores camera-optimizer + adaptive policy state)")
     p.add_argument("--scan-chunk", type=int, default=100)
     p.add_argument("--mesh", nargs="*", default=["tsdf", "sugar-coarse"],
                    help="mesh methods to extract after training")
@@ -90,6 +97,7 @@ def main(argv=None):
         output_dir=str(out),
         device_mesh=args.device_mesh,
         viewer=args.viewer, viewer_port=args.viewer_port,
+        resume=args.resume,
     )
     pipe = ReconstructionPipeline(cfg)
     pipe.train()

@@ -175,6 +175,49 @@ class ShardedTrainer:
         off = np.arange(self.n_data, dtype=np.int32)[None, :]
         return (base * self.n_data + off) % self.num_views
 
+    def save(self, path):
+        """Same full-fidelity checkpoint as Trainer.save — the format is
+        shared, so a run can move between single- and multi-chip."""
+        from fusionsense_tpu.train.checkpoint import save_checkpoint
+
+        save_checkpoint(
+            path, self.gaussians, self.opt, self.stats, self.step,
+            cam_state=self.cam_state,
+            extra={"tile_capacity": self.tile_capacity,
+                   "cover_tiles": self.cover_tiles,
+                   "history": self.history[-5:]})
+
+    def restore(self, path):
+        """Resume from a Trainer/ShardedTrainer checkpoint; ZeRO-1 moment
+        shards are re-pinned to their data-axis layout after the load."""
+        from fusionsense_tpu.train.checkpoint import load_checkpoint_full
+
+        g, opt, stats, step, cam_state, meta = load_checkpoint_full(path)
+        assert g.capacity <= self.max_capacity, (
+            f"checkpoint capacity {g.capacity} exceeds configured "
+            f"max {self.max_capacity}")
+        if self.shard_optimizer:
+            assert g.capacity % self.n_data == 0, (
+                "ZeRO-1 resume needs checkpoint capacity divisible by the "
+                "data axis")
+        self.gaussians, self.opt, self.stats = g, opt, stats
+        self.step = step
+        if cam_state is not None:
+            nv = int(np.asarray(cam_state[0]).shape[0])
+            assert nv == self.num_views, (
+                f"checkpoint has {nv} camera deltas, scene has "
+                f"{self.num_views} views")
+            self.cam_state = (jnp.asarray(cam_state[0]), cam_state[1])
+        if meta:
+            if meta.get("tile_capacity"):
+                self.tile_capacity = int(meta["tile_capacity"])
+            if meta.get("cover_tiles"):
+                self.cover_tiles = int(meta["cover_tiles"])
+        _ = self._train_chunk          # (re)build chunk + opt spec
+        if self.shard_optimizer:
+            self.opt = self._pin_opt(self.opt)
+        return self
+
     def run(self, iterations: Optional[int] = None, log=print):
         cfg = self.cfg
         total = iterations if iterations is not None else cfg.train.iterations
@@ -216,11 +259,7 @@ class ShardedTrainer:
 
             if (self.checkpoint_dir is not None
                     and self.step % cfg.train.steps_per_save == 0):
-                from fusionsense_tpu.train.checkpoint import save_checkpoint
-
-                save_checkpoint(
-                    f"{self.checkpoint_dir}/ckpt_{self.step}",
-                    self.gaussians, self.opt, self.stats, self.step)
+                self.save(f"{self.checkpoint_dir}/ckpt_{self.step}")
 
             if self.step % cfg.train.log_every == 0 or self.step >= total:
                 loss_h, psnr_h, ovf_h, tbw_h, pu_h, n_alive = jax.device_get(

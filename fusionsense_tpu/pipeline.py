@@ -36,7 +36,6 @@ from fusionsense_tpu.gaussians.init import init_from_points
 from fusionsense_tpu.gaussians.touch import (
     add_touch_patches, hull_prune, touch_prune,
 )
-from fusionsense_tpu.train.checkpoint import save_checkpoint
 from fusionsense_tpu.train.trainer import TrainData, Trainer
 from fusionsense_tpu.utils.ply import write_ply
 
@@ -58,6 +57,9 @@ class PipelineConfig:
     # (the reference's DDP slot, dn_pipeline.py:161-167, generalized).
     device_mesh: Optional[str] = None
     shard_optimizer: bool = True  # ZeRO-1 over the data axis when meshed
+    # resume mid-training from a Trainer.save checkpoint (the reference
+    # resumes via nerfstudio's load_dir/eval_setup)
+    resume: Optional[str] = None
 
 
 class ReconstructionPipeline:
@@ -226,11 +228,22 @@ class ReconstructionPipeline:
                                    extra_callbacks=callbacks)
         self.trainer.checkpoint_dir = str(self.out)
         self.trainer.image_log_dir = str(self.out / "log_images")
+        if cfg.resume:
+            self.trainer.restore(cfg.resume)
+            # touch patches live in the checkpoint as frozen Gaussians —
+            # the add-once callback must not anchor them a second time, but
+            # the recurring intruder prune still needs its boxes
+            if (self.scene.touch_patches
+                    and bool(np.asarray(self.trainer.gaussians.frozen).any())):
+                from fusionsense_tpu.gaussians.touch import TouchBoxes
+
+                state["touch_added"] = True
+                boxes_ref["boxes"] = TouchBoxes.from_patches(
+                    self.scene.touch_patches)
+            if log:
+                log(f"resumed from {cfg.resume} at step {self.trainer.step}")
         hist = self.trainer.run(log=log)
-        save_checkpoint(self.out / f"ckpt_{self.trainer.step}",
-                        self.trainer.gaussians, self.trainer.opt,
-                        self.trainer.stats, self.trainer.step,
-                        extra={"history": hist[-5:]})
+        self.trainer.save(self.out / f"ckpt_{self.trainer.step}")
         return hist
 
     # ------------------------------------------------------------ mesh ----

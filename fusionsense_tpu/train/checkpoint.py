@@ -22,27 +22,51 @@ from fusionsense_tpu.gaussians.store import GaussianState
 from fusionsense_tpu.train.optim import AdamState
 
 
-def _to_pytree(gaussians, opt, stats, step: int) -> dict:
-    return {
+def _adam_tree(opt: AdamState) -> dict:
+    return {"m": opt.m, "v": opt.v, "acc": opt.acc, "counts": opt.counts}
+
+
+def _adam_from_tree(o: dict) -> AdamState:
+    return AdamState(m=o["m"], v=o["v"], acc=o["acc"], counts=o["counts"])
+
+
+def _to_pytree(gaussians, opt, stats, step: int, cam_state=None) -> dict:
+    tree = {
         "gaussians": dict(gaussians),
-        "opt": {"m": opt.m, "v": opt.v, "acc": opt.acc, "counts": opt.counts},
+        "opt": _adam_tree(opt),
         "stats": dict(stats),
         "step": np.asarray(step, np.int64),
     }
+    if cam_state is not None:
+        deltas, cam_opt = cam_state
+        tree["cam"] = {"deltas": deltas, "opt": _adam_tree(cam_opt)}
+    return tree
 
 
 def save_checkpoint(path, gaussians: GaussianState, opt: AdamState,
-                    stats: RefineStats, step: int, extra: Optional[dict] = None):
+                    stats: RefineStats, step: int,
+                    extra: Optional[dict] = None, cam_state=None):
+    """cam_state, when given, is the trainer's (deltas, AdamState) camera
+    optimizer pair — the reference checkpoints its camera optimizer inside
+    the nerfstudio pipeline state the same way (SURVEY.md §5
+    checkpoint/resume); dropping it on resume silently discards the
+    learned pose corrections."""
     path = Path(path).absolute()
     path.parent.mkdir(parents=True, exist_ok=True)
     with ocp.StandardCheckpointer() as ckptr:
-        ckptr.save(path, _to_pytree(gaussians, opt, stats, step), force=True)
+        ckptr.save(path, _to_pytree(gaussians, opt, stats, step, cam_state),
+                   force=True)
     if extra is not None:
         with open(path.parent / f"{path.name}.meta.json", "w") as f:
             json.dump(extra, f, indent=2, default=str)
 
 
-def load_checkpoint(path) -> tuple[GaussianState, AdamState, RefineStats, int]:
+def load_checkpoint_full(path):
+    """Returns (gaussians, opt, stats, step, cam_state | None, meta | None).
+
+    cam_state is the (deltas, AdamState) camera-optimizer pair when the
+    checkpoint carries one; meta is the sidecar meta.json dict when
+    present (host-side trainer policy state: tile_capacity, cover_tiles)."""
     path = Path(path).absolute()
     with ocp.StandardCheckpointer() as ckptr:
         tree = ckptr.restore(path)
@@ -50,7 +74,20 @@ def load_checkpoint(path) -> tuple[GaussianState, AdamState, RefineStats, int]:
     # restore boolean masks (orbax may round-trip bools as loaded dtype)
     g = g.replace(alive=np.asarray(g.alive).astype(bool),
                   frozen=np.asarray(g.frozen).astype(bool))
-    o = tree["opt"]
-    opt = AdamState(m=o["m"], v=o["v"], acc=o["acc"], counts=o["counts"])
+    opt = _adam_from_tree(tree["opt"])
     stats = RefineStats(**tree["stats"])
-    return g, opt, stats, int(tree["step"])
+    cam_state = None
+    if "cam" in tree:
+        cam_state = (tree["cam"]["deltas"],
+                     _adam_from_tree(tree["cam"]["opt"]))
+    meta = None
+    meta_path = path.parent / f"{path.name}.meta.json"
+    if meta_path.exists():
+        with open(meta_path) as f:
+            meta = json.load(f)
+    return g, opt, stats, int(tree["step"]), cam_state, meta
+
+
+def load_checkpoint(path) -> tuple[GaussianState, AdamState, RefineStats, int]:
+    g, opt, stats, step, _, _ = load_checkpoint_full(path)
+    return g, opt, stats, step

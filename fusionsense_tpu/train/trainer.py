@@ -492,6 +492,48 @@ class Trainer:
 
         return _np.arange(self.step, self.step + n, dtype=_np.int32) % self.num_views
 
+    def save(self, path):
+        """Full-fidelity checkpoint: model/opt/stats/step + camera-optimizer
+        state + the host-side adaptive policy state (tile capacity / cover
+        window) so a resumed run continues the SAME trajectory instead of
+        re-walking the warmup policies (reference resumes via nerfstudio
+        eval_setup with its camera optimizer inside the pipeline state)."""
+        from fusionsense_tpu.train.checkpoint import save_checkpoint
+
+        save_checkpoint(
+            path, self.gaussians, self.opt, self.stats, self.step,
+            cam_state=self.cam_state,
+            extra={"tile_capacity": self.tile_capacity,
+                   "cover_tiles": self.cover_tiles,
+                   "history": self.history[-5:]})
+
+    def restore(self, path):
+        """Resume mid-training from a Trainer.save checkpoint."""
+        import numpy as np
+
+        from fusionsense_tpu.train.checkpoint import load_checkpoint_full
+
+        g, opt, stats, step, cam_state, meta = load_checkpoint_full(path)
+        assert g.capacity <= self.max_capacity, (
+            f"checkpoint capacity {g.capacity} exceeds configured "
+            f"max {self.max_capacity}")
+        self.gaussians, self.opt, self.stats = g, opt, stats
+        self.step = step
+        if cam_state is not None:
+            nv = int(np.asarray(cam_state[0]).shape[0])
+            assert nv == self.num_views, (
+                f"checkpoint has {nv} camera deltas, scene has "
+                f"{self.num_views} views")
+            self.cam_state = cam_state
+        if meta:
+            if meta.get("tile_capacity"):
+                self.tile_capacity = int(meta["tile_capacity"])
+            if meta.get("cover_tiles"):
+                self.cover_tiles = int(meta["cover_tiles"])
+        if self.cfg.train.render_prefix:
+            self._recompact(int(self.gaussians.num_alive))
+        return self
+
     def run(self, iterations: Optional[int] = None, log=print):
         cfg = self.cfg
         total = iterations if iterations is not None else cfg.train.iterations
@@ -542,11 +584,7 @@ class Trainer:
 
             if (self.checkpoint_dir is not None
                     and self.step % cfg.train.steps_per_save == 0):
-                from fusionsense_tpu.train.checkpoint import save_checkpoint
-
-                save_checkpoint(
-                    f"{self.checkpoint_dir}/ckpt_{self.step}",
-                    self.gaussians, self.opt, self.stats, self.step)
+                self.save(f"{self.checkpoint_dir}/ckpt_{self.step}")
 
             if self.step % cfg.train.log_every == 0 or self.step >= total:
                 # ONE device->host transfer for all logged scalars

@@ -393,3 +393,39 @@ def test_sharded_flat_backend_matches_jax_backend(scene):
     np.testing.assert_allclose(np.asarray(opt_f.m["means"]),
                                np.asarray(opt_j.m["means"]),
                                atol=3e-5, rtol=1e-3)
+
+
+def test_sharded_trainer_save_restore_roundtrip(scene, tmp_path):
+    """Mid-run multi-chip checkpoint restores (incl. ZeRO-1 re-pinning)
+    and training continues; the format is shared with Trainer.save so a
+    run can move between single- and multi-chip."""
+    from fusionsense_tpu.parallel.trainer import ShardedTrainer
+
+    cams, data, rcfg = scene
+    cfg = make_cfg(rcfg)
+    pts, rgb, _ = sphere_points(n=100, radius=0.5)
+    init = init_from_points(pts, jnp.full_like(rgb, 0.5), capacity=256,
+                            sh_degree=1)
+    mesh = make_mesh(8, data=4, tile=2)
+
+    st = ShardedTrainer(cfg, cams, data, init, mesh, shard_optimizer=True)
+    st.run(iterations=5, log=None)
+    st.save(tmp_path / "ckpt_sh")
+
+    st2 = ShardedTrainer(cfg, cams, data, init, mesh, shard_optimizer=True)
+    st2.restore(tmp_path / "ckpt_sh")
+    assert st2.step == 5
+    np.testing.assert_allclose(np.asarray(st2.gaussians.means),
+                               np.asarray(st.gaussians.means))
+    st2.run(iterations=10, log=None)
+    assert st2.step == 10
+    assert np.isfinite(st2.history[-1]["loss"])
+
+    # cross-path: the single-device Trainer restores the same file
+    from fusionsense_tpu.train.trainer import Trainer
+
+    tr = Trainer(cfg, cams, data, init)
+    tr.restore(tmp_path / "ckpt_sh")
+    assert tr.step == 5
+    tr.run(iterations=10, log=None)
+    assert np.isfinite(tr.history[-1]["loss"])

@@ -130,3 +130,38 @@ def test_pipeline_artifacts_roundtrip(scene_dir, tmp_path):
     a = np.sort(np.asarray(pts_run1), axis=0)
     b = np.sort(np.asarray(scene2.seed_points), axis=0)
     np.testing.assert_allclose(a, b, atol=1e-4)
+
+
+@pytest.mark.slow   # fast coverage: test_checkpoint trainer-level resume
+def test_pipeline_resume_with_touches(scene_dir, tmp_path):
+    """Interrupt after the touch patches anchored, resume via
+    PipelineConfig.resume: the add-once callback must NOT anchor a second
+    copy, the recurring intruder prune keeps its boxes, and camera/policy
+    state carries over (reference: nerfstudio load_dir resume)."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    cfg = make_cfg(scene_dir, tmp_path / "out_r", touches=True, iters=80)
+    # run the normal train() but stop at 60 of 80 iterations by
+    # temporarily lowering the schedule
+    cfg60 = dataclasses.replace(
+        cfg, experiment=dataclasses.replace(
+            cfg.experiment, train=dataclasses.replace(
+                cfg.experiment.train, iterations=60)))
+    pipe60 = ReconstructionPipeline(cfg60)
+    pipe60.train(log=None)
+    n_frozen_mid = int(jnp.sum(pipe60.trainer.gaussians.frozen))
+    assert n_frozen_mid > 0
+    ckpt = tmp_path / "out_r" / "ckpt_mid"
+    pipe60.trainer.save(ckpt)
+
+    cfg_resume = dataclasses.replace(cfg, resume=str(ckpt))
+    pipe2 = ReconstructionPipeline(cfg_resume)
+    pipe2.train(log=None)
+    assert pipe2.trainer.step == 80
+    n_frozen_end = int(jnp.sum(pipe2.trainer.gaussians.frozen))
+    assert n_frozen_end == n_frozen_mid, (
+        "resume re-anchored the touch patches: "
+        f"{n_frozen_mid} -> {n_frozen_end}")
+    assert np.isfinite(pipe2.trainer.history[-1]["loss"])
