@@ -1,8 +1,13 @@
 """Bench-config per-stage step breakdown (the probes behind
-docs/DESIGN.md §5b). Run on the real chip:
+docs/DESIGN.md §5b/5c). Run on the real chip:
 
-    PYTHONPATH=/root/repo:/root/.axon_site python tools/profile_step.py
+    PYTHONPATH=/root/repo:/root/.axon_site python tools/profile_step.py \
+        [--backend flat|pallas] [--tile-capacity N]
+
+flat (default) probes the production segmented-pair layout; --backend
+pallas reproduces the round-2 dense (T, K) numbers.
 """
+import argparse
 import time
 
 import jax
@@ -18,18 +23,26 @@ from fusionsense_tpu.data.synthetic import (
 from fusionsense_tpu.gaussians.adc import ADCConfig
 from fusionsense_tpu.gaussians.init import init_from_points
 from fusionsense_tpu.gaussians.store import activated
-from fusionsense_tpu.render.binning import bin_gaussians
+from fusionsense_tpu.render.binning import bin_gaussians, flat_bin_gaussians
 from fusionsense_tpu.render.project import project_gaussians
 from fusionsense_tpu.render.rasterize import RasterizeConfig, rasterize
 from fusionsense_tpu.train.trainer import TrainData, Trainer
+
+_ap = argparse.ArgumentParser()
+_ap.add_argument("--backend", choices=["flat", "pallas"], default="flat")
+_ap.add_argument("--tile-capacity", type=int, default=None,
+                 help="per-tile K (pallas) / mean pair budget (flat); "
+                      "default 512 flat, 1024 pallas")
+_args = _ap.parse_args()
 
 WIDTH, HEIGHT = 640, 480
 CAP = 1 << 16
 REPS = 20
 
-rcfg = RasterizeConfig(tile_size=32, tile_capacity=1024,
+_cap0 = _args.tile_capacity or (512 if _args.backend == "flat" else 1024)
+rcfg = RasterizeConfig(tile_size=32, tile_capacity=_cap0,
                        max_tiles_per_gaussian=9, tile_chunk=100,
-                       sh_degree=3, backend="pallas")
+                       sh_degree=3, backend=_args.backend)
 cams = ring_cameras(n_views=9, width=WIDTH, height_px=HEIGHT, focal=550.0)
 pts, rgb, normals = sphere_points(n=30000, radius=0.5)
 g = init_from_points(pts, rgb, capacity=CAP, sh_degree=3,
@@ -91,7 +104,17 @@ proj = jax.jit(lambda: project_gaussians(
     m, q, s, o, cam0, near=rcfg.near, far=rcfg.far, eps2d=rcfg.eps2d))()
 
 
+_T = (-(-WIDTH // rcfg.tile_size)) * (-(-HEIGHT // rcfg.tile_size))
+
+
 def binning_only(mean2d, radius, depth, carry):
+    if rcfg.backend == "flat":
+        pb = -(-tr.tile_capacity * _T // 128) * 128   # mirror rasterize.py
+        b = flat_bin_gaussians(
+            mean2d + carry, radius, depth, width=WIDTH, height=HEIGHT,
+            tile_size=rcfg.tile_size, pair_budget=pb,
+            max_tiles_per_gaussian=tr.cover_tiles)
+        return (b.gauss_ids.sum() + b.landing.sum()).astype(jnp.float32)
     b = bin_gaussians(mean2d + carry, radius, depth, width=WIDTH,
                       height=HEIGHT, tile_size=rcfg.tile_size,
                       tile_capacity=tr.tile_capacity,
