@@ -79,6 +79,14 @@ def test_cli_parsers():
          "--backend", "pallas"])
     assert args.viewer and args.backend == "pallas"
 
+    args = t.build_parser().parse_args(
+        ["--data", "/tmp/x", "--backend", "flat",
+         "--device-mesh", "data=2,tile=2,gauss=2",
+         "--resume", "/tmp/ckpt_100"])
+    assert args.backend == "flat"
+    assert args.device_mesh == "data=2,tile=2,gauss=2"
+    assert args.resume == "/tmp/ckpt_100"
+
     from fusionsense_tpu.cli import viewer as v
     import pytest as _pt
 
