@@ -335,6 +335,21 @@ def _build_sharded_step(cfg: ExperimentConfig, camera: Camera,
             (gaussians.params(), tap0, cam_deltas))
         param_grads, tap_grad, delta_grads = grads
 
+        # non-finite step guard (same as the single-device chunk): every
+        # shard checks its LOCAL loss/grads, then a pmin over all mesh axes
+        # makes the verdict global — one poisoned shard must skip the
+        # update everywhere or params diverge across devices.
+        ok = jnp.isfinite(loss)
+        for leaf in jax.tree_util.tree_leaves((param_grads, delta_grads)):
+            ok = ok & jnp.all(jnp.isfinite(leaf))
+        ok_i = jax.lax.pmin(jax.lax.pmin(ok.astype(jnp.int32), "data"),
+                            shard_axes)
+        ok = ok_i.astype(bool)
+        tap_grad = jnp.where(ok, tap_grad, 0.0)
+
+        def _keep_if_ok(new, old):
+            return jax.tree.map(lambda a, b: jnp.where(ok, a, b), new, old)
+
         if use_cam_opt:
             # each data shard contributes its own camera's row; psum over
             # shard axes collapses the redundant tile/gauss members, psum
@@ -342,11 +357,12 @@ def _build_sharded_step(cfg: ExperimentConfig, camera: Camera,
             # accumulated-Adam path applies the update replicated
             delta_grads = jax.lax.psum(
                 jax.lax.psum(delta_grads, shard_axes), "data")
-            cam_p, cam_opt = adam_step(
+            cam_p, cam_opt2 = adam_step(
                 {"cam_delta": cam_deltas}, {"cam_delta": delta_grads},
                 cam_opt, step, jnp.ones(cam_deltas.shape[0], bool),
                 groups=cam_group)
-            cam_deltas = cam_p["cam_delta"]
+            cam_deltas = jnp.where(ok, cam_p["cam_delta"], cam_deltas)
+            cam_opt = _keep_if_ok(cam_opt2, cam_opt)
 
         # gradient reduction: mean over cameras, sum over tile/gauss shards
         tap_grad = jax.lax.pmean(jax.lax.psum(tap_grad, shard_axes), "data")
@@ -373,6 +389,8 @@ def _build_sharded_step(cfg: ExperimentConfig, camera: Camera,
                 gaussians.alive, me * local, local, 0)
             new_local, opt2 = adam_step(local_params, local_grads, opt, step,
                                         local_alive, groups=adam_groups)
+            new_local = _keep_if_ok(new_local, local_params)
+            opt2 = _keep_if_ok(opt2, opt)
             params = jax.tree.map(
                 lambda p: jax.lax.all_gather(p, "data", axis=0, tiled=True),
                 new_local)
@@ -383,6 +401,8 @@ def _build_sharded_step(cfg: ExperimentConfig, camera: Camera,
             params, opt2 = adam_step(gaussians.params(), param_grads, opt,
                                      step, gaussians.alive,
                                      groups=adam_groups)
+            params = _keep_if_ok(params, gaussians.params())
+            opt2 = _keep_if_ok(opt2, opt)
         g2 = gaussians.replace(**params)
         # stats: radius is per-camera; accumulate the max over the batch
         radius = jax.lax.pmax(jax.lax.pmax(radius, "data"), shard_axes)
@@ -404,6 +424,7 @@ def _build_sharded_step(cfg: ExperimentConfig, camera: Camera,
             # flat backend: worst shard's aligned pair total (budget policy)
             "pairs_used": jax.lax.pmax(
                 jax.lax.pmax(pairs_used, "data"), shard_axes),
+            "nonfinite": 1 - ok_i,      # identical on every shard (pmin)
         }
         return g2, opt2, (cam_deltas, cam_opt), stats2, metrics
 

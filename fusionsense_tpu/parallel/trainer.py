@@ -262,16 +262,23 @@ class ShardedTrainer:
                 self.save(f"{self.checkpoint_dir}/ckpt_{self.step}")
 
             if self.step % cfg.train.log_every == 0 or self.step >= total:
-                loss_h, psnr_h, ovf_h, tbw_h, pu_h, n_alive = jax.device_get(
+                (loss_h, psnr_h, ovf_h, tbw_h, pu_h, nf_h,
+                 n_alive) = jax.device_get(
                     (metrics["loss"][-1], metrics["psnr"][-1],
                      metrics["overflow"][-1], metrics["trunc_by_win"][-1],
-                     metrics["pairs_used"][-1], self.gaussians.num_alive))
+                     metrics["pairs_used"][-1],
+                     jnp.sum(metrics["nonfinite"]),
+                     self.gaussians.num_alive))
+                if int(nf_h) and log:
+                    log(f"WARNING: skipped {int(nf_h)} non-finite step(s) "
+                        f"in the chunk ending at step {self.step}")
                 rec = {
                     "step": self.step,
                     "loss": float(loss_h),
                     "psnr": float(psnr_h),
                     "num_gaussians": int(n_alive),
                     "tile_overflow": int(ovf_h),
+                    "nonfinite_steps": int(nf_h),
                     "capacity": self.gaussians.capacity,
                     "elapsed_s": time.time() - t0,
                 }

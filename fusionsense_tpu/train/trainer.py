@@ -273,8 +273,25 @@ def make_train_chunk(cfg: ExperimentConfig, camera: Camera, data: TrainData,
             # |per-tile position gradient|, via the pallas backward)
             tap_grad = abs_grad
 
+        # non-finite step guard (beyond-reference failure handling —
+        # SURVEY.md §5 records the reference has none): a single NaN/inf
+        # loss or gradient would poison the Adam moments and every later
+        # step inside this fused scan. Skip the whole update instead and
+        # surface a counter. Cost: one extra pass over the grads (small
+        # next to the backward that produced them) + selects.
+        ok = jnp.asarray(jnp.isfinite(loss))
+        for leaf in jax.tree_util.tree_leaves((param_grads, delta_grads)):
+            ok = ok & jnp.all(jnp.isfinite(leaf))
+        tap_grad = jnp.where(ok, tap_grad, 0.0)
+
+        def _keep_if_ok(new, old):
+            return jax.tree_util.tree_map(
+                lambda a, b: jnp.where(ok, a, b), new, old)
+
         params, opt2 = adam_step(gaussians.params(), param_grads, opt, step,
                                  gaussians.alive, groups=adam_groups)
+        params = _keep_if_ok(params, gaussians.params())
+        opt2 = _keep_if_ok(opt2, opt)
         gaussians2 = gaussians.replace(**params)
 
         if use_cam_opt:
@@ -282,11 +299,12 @@ def make_train_chunk(cfg: ExperimentConfig, camera: Camera, data: TrainData,
             # path) on the (V, 6) SO3xR3 pose deltas — reference semantics:
             # nerfstudio camera_opt group, grad accumulation 100
             # (dn_config.py:29)
-            cam_p, cam_opt = adam_step(
+            cam_p, cam_opt2 = adam_step(
                 {"cam_delta": cam_deltas}, {"cam_delta": delta_grads},
                 cam_opt, step, jnp.ones(cam_deltas.shape[0], bool),
                 groups=cam_group)
-            cam_deltas = cam_p["cam_delta"]
+            cam_deltas = jnp.where(ok, cam_p["cam_delta"], cam_deltas)
+            cam_opt = _keep_if_ok(cam_opt2, cam_opt)
 
         radius = aux["radius"]
         if radius.shape[0] < gaussians.capacity:   # rendered prefix -> pad
@@ -298,7 +316,8 @@ def make_train_chunk(cfg: ExperimentConfig, camera: Camera, data: TrainData,
         metrics = {"loss": loss, "psnr": aux["psnr"],
                    "overflow": aux["overflow"],
                    "trunc_by_win": aux["trunc_by_win"],
-                   "pairs_used": aux["pairs_used"]}
+                   "pairs_used": aux["pairs_used"],
+                   "nonfinite": (~ok).astype(jnp.int32)}
         return (gaussians2, opt2, (cam_deltas, cam_opt),
                 stats2, step + 1), metrics
 
@@ -588,16 +607,23 @@ class Trainer:
 
             if self.step % cfg.train.log_every == 0 or self.step >= total:
                 # ONE device->host transfer for all logged scalars
-                loss_h, psnr_h, ovf_h, tbw_h, pu_h, n_alive = jax.device_get(
+                (loss_h, psnr_h, ovf_h, tbw_h, pu_h, nf_h,
+                 n_alive) = jax.device_get(
                     (metrics["loss"][-1], metrics["psnr"][-1],
                      metrics["overflow"][-1], metrics["trunc_by_win"][-1],
-                     metrics["pairs_used"][-1], self.gaussians.num_alive))
+                     metrics["pairs_used"][-1],
+                     jnp.sum(metrics["nonfinite"]),
+                     self.gaussians.num_alive))
+                if int(nf_h) and log:
+                    log(f"WARNING: skipped {int(nf_h)} non-finite step(s) "
+                        f"in the chunk ending at step {self.step}")
                 rec = {
                     "step": self.step,
                     "loss": float(loss_h),
                     "psnr": float(psnr_h),
                     "num_gaussians": int(n_alive),
                     "tile_overflow": int(ovf_h),
+                    "nonfinite_steps": int(nf_h),
                     "capacity": self.gaussians.capacity,
                     "elapsed_s": time.time() - t0,
                 }

@@ -148,3 +148,60 @@ def test_camera_opt_recovers_pose_noise(fixture_scene):
     err_after = float(jnp.linalg.norm(corrected - cams.viewmat))
     assert err_after < err_before, (
         f"pose error grew: {err_before:.5f} -> {err_after:.5f}")
+
+
+def test_nonfinite_step_guard():
+    """A NaN-poisoned training view must not poison the parameters: the
+    chunk skips the whole update for non-finite steps (params, Adam
+    moments, camera deltas, densify taps) and reports a counter.
+    Beyond-reference failure handling — SURVEY.md §5 records the
+    reference has none (a NaN loss poisons its run permanently)."""
+    import jax
+    import jax.numpy as jnp
+
+    from fusionsense_tpu.config import (
+        ExperimentConfig, LossConfig, ModelConfig, TrainConfig,
+    )
+    from fusionsense_tpu.data.synthetic import (
+        ring_cameras, sphere_depth_normals, sphere_points,
+    )
+    from fusionsense_tpu.gaussians.init import init_from_points
+    from fusionsense_tpu.render.rasterize import RasterizeConfig
+    from fusionsense_tpu.train.trainer import TrainData, Trainer
+
+    cams = ring_cameras(n_views=2, width=64, height_px=48, focal=60.0)
+    pts, rgb, normals = sphere_points(n=100, radius=0.5)
+    g = init_from_points(pts, rgb, capacity=128, sh_degree=1,
+                         seed_normals=normals)
+    deps, nms = [], []
+    for i in range(2):
+        d, n, _ = sphere_depth_normals(cams.index(i))
+        deps.append(d)
+        nms.append(n)
+    imgs = jnp.zeros((2, 48, 64, 3)) + 0.4
+    imgs = imgs.at[1].set(jnp.nan)          # view 1 GT is poisoned
+    data = TrainData(images=imgs, sensor_depths=jnp.stack(deps),
+                     normals=jnp.stack(nms))
+    rcfg = RasterizeConfig(tile_size=16, tile_capacity=128,
+                           max_tiles_per_gaussian=4, tile_chunk=10,
+                           sh_degree=1, backend="flat")
+    cfg = ExperimentConfig(
+        model=ModelConfig(sh_degree=1, rasterize=rcfg, capacity=128),
+        train=TrainConfig(iterations=10, scan_chunk=10, log_every=10,
+                          camera_opt=True),
+        loss=LossConfig())
+    tr = Trainer(cfg, cams, data, g)
+    ls0 = np.asarray(tr.gaussians.log_scales).copy()
+    tr.run(log=None)
+
+    rec = tr.history[-1]
+    assert rec["nonfinite_steps"] == 5, rec      # every other step poisoned
+    for k, v in tr.gaussians.params().items():
+        assert np.all(np.isfinite(np.asarray(v))), f"NaN leaked into {k}"
+    # log_scales is the only every_k=1 group that moves in 10 steps here;
+    # the 5 clean steps must still have applied their updates
+    ls1 = np.asarray(tr.gaussians.log_scales)
+    assert np.abs(ls1 - ls0).max() > 1e-4, "clean steps should still update"
+    for v in tr.opt.m.values():
+        assert np.all(np.isfinite(np.asarray(v))), "NaN in Adam moments"
+    assert np.all(np.isfinite(np.asarray(tr.cam_state[0])))
