@@ -34,14 +34,23 @@ def main(argv=None):
     )
     from fusionsense_tpu.eval.evaluator import evaluate
     from fusionsense_tpu.render.rasterize import RasterizeConfig
-    from fusionsense_tpu.train.checkpoint import load_checkpoint
+    from fusionsense_tpu.train.checkpoint import load_checkpoint_full
 
-    gaussians, _, _, step = load_checkpoint(args.checkpoint)
+    gaussians, _, _, step, cam_state, _ = load_checkpoint_full(args.checkpoint)
     dcfg = DataParserConfig(data_dir=args.data)
     scene = parse_transforms(dcfg)
     camera, data = load_train_data(scene, dcfg, args.split)
+    # optimized camera poses apply only to the split they were learned on
+    deltas = None
+    if cam_state is not None and args.split == "train":
+        import numpy as _np
+
+        d = _np.asarray(cam_state[0])
+        if d.shape[0] == data.images.shape[0] and _np.any(d != 0):
+            deltas = d
     res = evaluate(gaussians, camera, data,
-                   RasterizeConfig(backend=args.backend))
+                   RasterizeConfig(backend=args.backend),
+                   cam_deltas=deltas)
     res["step"] = step
 
     if args.gt_mesh and args.pred_mesh:

@@ -23,14 +23,26 @@ from fusionsense_tpu.render.rasterize import (
 
 
 def make_render_fn(cfg: RasterizeConfig, camera: Camera,
-                   binary_opacities: bool = False):
-    """Jitted view renderer: (gaussians, cam_idx) -> RenderOutputs."""
+                   binary_opacities: bool = False, cam_deltas=None):
+    """Jitted view renderer: (gaussians, cam_idx) -> RenderOutputs.
+
+    cam_deltas: optional (V, 6) SE3 pose corrections from the trainer's
+    camera optimizer — applied exactly as in training, so eval on train
+    views uses the OPTIMIZED poses (the reference's eval_setup restores
+    its camera optimizer the same way; nerfstudio camera_opt consumed at
+    reference dn_model.py:488)."""
+    deltas = None if cam_deltas is None else jnp.asarray(cam_deltas)
 
     @jax.jit
     def render(gaussians: GaussianState, cam_idx):
         means, quats, scales, op, colors = activated(
             gaussians, binary_opacity_snap=binary_opacities)
         cam_i = camera.index(cam_idx)
+        if deltas is not None:
+            from fusionsense_tpu.core.transforms import apply_se3_delta
+
+            cam_i = cam_i.replace(
+                viewmat=apply_se3_delta(cam_i.viewmat, deltas[cam_idx]))
         normals = gaussian_flat_normals(quats, scales, means, cam_i.origin)
         return rasterize(means, quats, scales, op, colors, cam_i, cfg,
                          normals=normals)
@@ -45,8 +57,10 @@ def evaluate(
     cfg: RasterizeConfig,
     binary_opacities: bool = False,
     measure_fps: bool = True,
+    cam_deltas=None,
 ) -> dict:
-    render = make_render_fn(cfg, camera, binary_opacities)
+    render = make_render_fn(cfg, camera, binary_opacities,
+                            cam_deltas=cam_deltas)
     V = data.images.shape[0]
 
     from fusionsense_tpu.eval import lpips as _lpips

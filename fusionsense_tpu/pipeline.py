@@ -264,8 +264,14 @@ class ReconstructionPipeline:
         assert self.trainer is not None, "train first"
         cam, data = ((self.camera, self.data) if split == "train"
                      else load_train_data(self.scene, self.cfg.data, split))
+        # train-split eval uses the optimized camera poses (reference:
+        # nerfstudio restores its camera optimizer through eval_setup)
+        deltas = (self.trainer.cam_state[0]
+                  if split == "train"
+                  and self.cfg.experiment.train.camera_opt else None)
         res = evaluate(self.trainer.gaussians, cam, data,
-                       self.cfg.experiment.model.rasterize)
+                       self.cfg.experiment.model.rasterize,
+                       cam_deltas=deltas)
         with open(self.out / "metrics.json", "w") as f:
             json.dump(res, f, indent=2)
         return res

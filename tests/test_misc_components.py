@@ -56,3 +56,33 @@ def test_batch_runner(tmp_path):
     assert len(res) == 1
     assert res[0]["status"] == "ok", res[0]
     assert (tmp_path / "out" / "summary.json").exists()
+
+
+def test_evaluator_applies_camera_deltas():
+    """make_render_fn(cam_deltas=...) applies the SE3 pose corrections
+    exactly as training does: zero deltas reproduce the plain render, a
+    nonzero delta changes the view (reference consumes its camera
+    optimizer in eval through eval_setup, dn_model.py:488)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from fusionsense_tpu.data.synthetic import ring_cameras, sphere_points
+    from fusionsense_tpu.eval.evaluator import make_render_fn
+    from fusionsense_tpu.gaussians.init import init_from_points
+    from fusionsense_tpu.render.rasterize import RasterizeConfig
+
+    cams = ring_cameras(n_views=2, width=48, height_px=32, focal=40.0)
+    pts, rgb, normals = sphere_points(n=80, radius=0.5)
+    g = init_from_points(pts, rgb, capacity=128, sh_degree=1,
+                         seed_normals=normals)
+    rcfg = RasterizeConfig(tile_size=16, tile_capacity=64,
+                           max_tiles_per_gaussian=4, tile_chunk=6,
+                           sh_degree=1)
+    base = make_render_fn(rcfg, cams)(g, jnp.asarray(0)).rgb
+    zero = make_render_fn(rcfg, cams, cam_deltas=jnp.zeros((2, 6)))(
+        g, jnp.asarray(0)).rgb
+    np.testing.assert_allclose(np.asarray(zero), np.asarray(base), atol=1e-6)
+
+    d = jnp.zeros((2, 6)).at[0, 4].set(0.05)      # translate view 0
+    moved = make_render_fn(rcfg, cams, cam_deltas=d)(g, jnp.asarray(0)).rgb
+    assert float(np.abs(np.asarray(moved) - np.asarray(base)).max()) > 1e-3
