@@ -22,7 +22,8 @@ def build_parser():
                    help="scale of GT mesh units to meters (mm default)")
     p.add_argument("--pred-mesh", default=None,
                    help="extracted mesh/pcd .ply to compare (capture coords)")
-    p.add_argument("--backend", choices=["jax", "pallas"], default="jax")
+    p.add_argument("--backend", choices=["jax", "pallas", "flat"],
+                   default="jax")
     return p
 
 

@@ -34,7 +34,8 @@ def build_parser():
                         "level x ray-max density (scale-invariant); 'peak' = "
                         "density-peak refinement (least surface bias)")
     p.add_argument("--tile-capacity", type=int, default=512)
-    p.add_argument("--backend", choices=["jax", "pallas"], default="jax")
+    p.add_argument("--backend", choices=["jax", "pallas", "flat"],
+                   default="jax")
     return p
 
 
@@ -46,12 +47,21 @@ def main(argv=None):
     )
     from fusionsense_tpu.mesh_export import extract
     from fusionsense_tpu.render.rasterize import RasterizeConfig
-    from fusionsense_tpu.train.checkpoint import load_checkpoint
+    from fusionsense_tpu.train.checkpoint import load_checkpoint_full
 
-    gaussians, _, _, step = load_checkpoint(args.checkpoint)
+    gaussians, _, _, step, cam_state, _ = load_checkpoint_full(
+        args.checkpoint)
     dcfg = DataParserConfig(data_dir=args.data)
     scene = parse_transforms(dcfg)
     camera, _ = load_train_data(scene, dcfg, "train")
+    # camera-opt runs: fuse depth from the optimized train poses
+    deltas = None
+    if cam_state is not None:
+        import numpy as _np
+
+        d = _np.asarray(cam_state[0])
+        if d.shape[0] == camera.viewmat.shape[0] and _np.any(d != 0):
+            deltas = d
     out = Path(args.output_dir or Path(args.checkpoint).parent)
     rcfg = RasterizeConfig(tile_capacity=args.tile_capacity,
                            backend=args.backend)
@@ -62,7 +72,7 @@ def main(argv=None):
             args.method, gaussians, camera, rcfg, out,
             untransform=scene.untransform_points, hull_points=hull,
             resolution=args.resolution, level=lvl,
-            level_mode=args.level_mode)
+            level_mode=args.level_mode, cam_deltas=deltas)
         print(f"mesh[{args.method}] level {lvl} @ step {step}: "
               f"{len(verts)} verts, {len(faces)} faces -> {path}")
 

@@ -30,7 +30,8 @@ def build_parser():
                    help="frames for interpolate/spiral")
     p.add_argument("--fps", type=int, default=24)
     p.add_argument("--video", action="store_true", help="also write mp4")
-    p.add_argument("--backend", choices=["jax", "pallas"], default="jax")
+    p.add_argument("--backend", choices=["jax", "pallas", "flat"],
+                   default="jax")
     return p
 
 

@@ -73,9 +73,19 @@ def extract(
     level_mode: str = "absolute",
     poisson: PoissonConfig = PoissonConfig(),
     n_views: int | None = None,
+    cam_deltas=None,
 ):
     out_dir = Path(out_dir)
     out_dir.mkdir(parents=True, exist_ok=True)
+    if cam_deltas is not None:
+        # a camera-opt run trained the gaussians against delta-corrected
+        # poses — depth rendering AND TSDF back-projection must both use
+        # the same corrected viewmats or the fused mesh is misaligned
+        # relative to the gaussians (the eval path applies them too)
+        from fusionsense_tpu.core.transforms import apply_se3_delta
+
+        camera = camera.replace(viewmat=apply_se3_delta(
+            camera.viewmat, jnp.asarray(cam_deltas)))
     V = n_views or camera.viewmat.shape[0]
     alive = np.asarray(gaussians.alive)
     means_np = np.asarray(gaussians.means)[alive]

@@ -408,6 +408,8 @@ def _build_sharded_step(cfg: ExperimentConfig, camera: Camera,
         radius = jax.lax.pmax(jax.lax.pmax(radius, "data"), shard_axes)
         stats2 = accumulate_stats(stats, tap_grad, radius,
                                   camera.width, camera.height)
+        # skipped steps must not dilute the densification average
+        stats2 = _keep_if_ok(stats2, stats)
         # per-device loss is true_loss/(n_tile*n_gauss) (see _sharded_losses),
         # so the shard-axes psum recovers the true per-camera loss before the
         # camera mean

@@ -178,41 +178,20 @@ class ShardedTrainer:
     def save(self, path):
         """Same full-fidelity checkpoint as Trainer.save — the format is
         shared, so a run can move between single- and multi-chip."""
-        from fusionsense_tpu.train.checkpoint import save_checkpoint
+        from fusionsense_tpu.train.checkpoint import save_trainer_state
 
-        save_checkpoint(
-            path, self.gaussians, self.opt, self.stats, self.step,
-            cam_state=self.cam_state,
-            extra={"tile_capacity": self.tile_capacity,
-                   "cover_tiles": self.cover_tiles,
-                   "history": self.history[-5:]})
+        save_trainer_state(self, path)
 
     def restore(self, path):
         """Resume from a Trainer/ShardedTrainer checkpoint; ZeRO-1 moment
         shards are re-pinned to their data-axis layout after the load."""
-        from fusionsense_tpu.train.checkpoint import load_checkpoint_full
+        from fusionsense_tpu.train.checkpoint import restore_trainer_state
 
-        g, opt, stats, step, cam_state, meta = load_checkpoint_full(path)
-        assert g.capacity <= self.max_capacity, (
-            f"checkpoint capacity {g.capacity} exceeds configured "
-            f"max {self.max_capacity}")
+        restore_trainer_state(self, path)
         if self.shard_optimizer:
-            assert g.capacity % self.n_data == 0, (
+            assert self.gaussians.capacity % self.n_data == 0, (
                 "ZeRO-1 resume needs checkpoint capacity divisible by the "
                 "data axis")
-        self.gaussians, self.opt, self.stats = g, opt, stats
-        self.step = step
-        if cam_state is not None:
-            nv = int(np.asarray(cam_state[0]).shape[0])
-            assert nv == self.num_views, (
-                f"checkpoint has {nv} camera deltas, scene has "
-                f"{self.num_views} views")
-            self.cam_state = (jnp.asarray(cam_state[0]), cam_state[1])
-        if meta:
-            if meta.get("tile_capacity"):
-                self.tile_capacity = int(meta["tile_capacity"])
-            if meta.get("cover_tiles"):
-                self.cover_tiles = int(meta["cover_tiles"])
         _ = self._train_chunk          # (re)build chunk + opt spec
         if self.shard_optimizer:
             self.opt = self._pin_opt(self.opt)
@@ -237,6 +216,11 @@ class ShardedTrainer:
                 np.int32(self.step), self._cam_indices(n))
             self.gaussians, self.opt, self.cam_state, self.stats = g, o, cs, s
             self.step += n
+            # cumulative counter across chunks (a log boundary only sees
+            # the LAST chunk's metrics): one async device add per chunk
+            nf_c = jnp.sum(metrics["nonfinite"])
+            self._nf_acc = (nf_c if getattr(self, "_nf_acc", None) is None
+                            else self._nf_acc + nf_c)
 
             mutated = False
             if (self.step >= adc.warmup and self.step < adc.stop_split_at
@@ -266,12 +250,12 @@ class ShardedTrainer:
                  n_alive) = jax.device_get(
                     (metrics["loss"][-1], metrics["psnr"][-1],
                      metrics["overflow"][-1], metrics["trunc_by_win"][-1],
-                     metrics["pairs_used"][-1],
-                     jnp.sum(metrics["nonfinite"]),
+                     metrics["pairs_used"][-1], self._nf_acc,
                      self.gaussians.num_alive))
+                self._nf_acc = None
                 if int(nf_h) and log:
                     log(f"WARNING: skipped {int(nf_h)} non-finite step(s) "
-                        f"in the chunk ending at step {self.step}")
+                        f"since the last log (now at step {self.step})")
                 rec = {
                     "step": self.step,
                     "loss": float(loss_h),

@@ -251,11 +251,13 @@ class ReconstructionPipeline:
         from fusionsense_tpu.mesh_export import extract
 
         assert self.trainer is not None, "train first"
+        deltas = (self.trainer.cam_state[0]
+                  if self.cfg.experiment.train.camera_opt else None)
         return extract(
             method, self.trainer.gaussians, self.camera,
             rasterize_cfg=self.cfg.experiment.model.rasterize,
             out_dir=self.out, untransform=self.scene.untransform_points,
-            hull_points=self.hull_points, **kw)
+            hull_points=self.hull_points, cam_deltas=deltas, **kw)
 
     # ------------------------------------------------------------ eval ----
     def evaluate(self, split: str = "train"):

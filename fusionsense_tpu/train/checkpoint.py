@@ -91,3 +91,41 @@ def load_checkpoint_full(path):
 def load_checkpoint(path) -> tuple[GaussianState, AdamState, RefineStats, int]:
     g, opt, stats, step, _, _ = load_checkpoint_full(path)
     return g, opt, stats, step
+
+
+def save_trainer_state(trainer, path):
+    """Shared full-fidelity save used by Trainer.save AND
+    ShardedTrainer.save — one format, so a run can move between single-
+    and multi-chip."""
+    save_checkpoint(
+        path, trainer.gaussians, trainer.opt, trainer.stats, trainer.step,
+        cam_state=trainer.cam_state,
+        extra={"tile_capacity": trainer.tile_capacity,
+               "cover_tiles": trainer.cover_tiles,
+               "history": trainer.history[-5:]})
+
+
+def restore_trainer_state(trainer, path):
+    """Shared restore core: loads model/opt/stats/step + camera-optimizer
+    + adaptive policy state into `trainer`. Callers apply their own
+    post-load hook (render-prefix recompact / ZeRO-1 re-pin)."""
+    import jax.numpy as jnp
+
+    g, opt, stats, step, cam_state, meta = load_checkpoint_full(path)
+    assert g.capacity <= trainer.max_capacity, (
+        f"checkpoint capacity {g.capacity} exceeds configured "
+        f"max {trainer.max_capacity}")
+    trainer.gaussians, trainer.opt, trainer.stats = g, opt, stats
+    trainer.step = step
+    if cam_state is not None:
+        nv = int(np.asarray(cam_state[0]).shape[0])
+        assert nv == trainer.num_views, (
+            f"checkpoint has {nv} camera deltas, scene has "
+            f"{trainer.num_views} views")
+        trainer.cam_state = (jnp.asarray(cam_state[0]), cam_state[1])
+    if meta:
+        if meta.get("tile_capacity"):
+            trainer.tile_capacity = int(meta["tile_capacity"])
+        if meta.get("cover_tiles"):
+            trainer.cover_tiles = int(meta["cover_tiles"])
+    return trainer

@@ -313,6 +313,10 @@ def make_train_chunk(cfg: ExperimentConfig, camera: Camera, data: TrainData,
                                    radius.dtype)])
         stats2 = accumulate_stats(stats, tap_grad, radius,
                                   camera.width, camera.height)
+        # skipped steps must not dilute the densification average either:
+        # count/max_radius growing against a zeroed tap halves the
+        # effective grad2d mean under a persistently poisoned view
+        stats2 = _keep_if_ok(stats2, stats)
         metrics = {"loss": loss, "psnr": aux["psnr"],
                    "overflow": aux["overflow"],
                    "trunc_by_win": aux["trunc_by_win"],
@@ -517,38 +521,15 @@ class Trainer:
         window) so a resumed run continues the SAME trajectory instead of
         re-walking the warmup policies (reference resumes via nerfstudio
         eval_setup with its camera optimizer inside the pipeline state)."""
-        from fusionsense_tpu.train.checkpoint import save_checkpoint
+        from fusionsense_tpu.train.checkpoint import save_trainer_state
 
-        save_checkpoint(
-            path, self.gaussians, self.opt, self.stats, self.step,
-            cam_state=self.cam_state,
-            extra={"tile_capacity": self.tile_capacity,
-                   "cover_tiles": self.cover_tiles,
-                   "history": self.history[-5:]})
+        save_trainer_state(self, path)
 
     def restore(self, path):
         """Resume mid-training from a Trainer.save checkpoint."""
-        import numpy as np
+        from fusionsense_tpu.train.checkpoint import restore_trainer_state
 
-        from fusionsense_tpu.train.checkpoint import load_checkpoint_full
-
-        g, opt, stats, step, cam_state, meta = load_checkpoint_full(path)
-        assert g.capacity <= self.max_capacity, (
-            f"checkpoint capacity {g.capacity} exceeds configured "
-            f"max {self.max_capacity}")
-        self.gaussians, self.opt, self.stats = g, opt, stats
-        self.step = step
-        if cam_state is not None:
-            nv = int(np.asarray(cam_state[0]).shape[0])
-            assert nv == self.num_views, (
-                f"checkpoint has {nv} camera deltas, scene has "
-                f"{self.num_views} views")
-            self.cam_state = cam_state
-        if meta:
-            if meta.get("tile_capacity"):
-                self.tile_capacity = int(meta["tile_capacity"])
-            if meta.get("cover_tiles"):
-                self.cover_tiles = int(meta["cover_tiles"])
+        restore_trainer_state(self, path)
         if self.cfg.train.render_prefix:
             self._recompact(int(self.gaussians.num_alive))
         return self
@@ -576,6 +557,11 @@ class Trainer:
             )
             self.gaussians, self.opt, self.cam_state, self.stats = g, o, cs, s
             self.step += n
+            # cumulative counter across chunks (a log boundary only sees
+            # the LAST chunk's metrics): one async device add per chunk
+            nf_c = jnp.sum(metrics["nonfinite"])
+            self._nf_acc = (nf_c if getattr(self, "_nf_acc", None) is None
+                            else self._nf_acc + nf_c)
 
             alive_changed = False
             if (self.step >= adc.warmup and self.step < adc.stop_split_at
@@ -611,12 +597,12 @@ class Trainer:
                  n_alive) = jax.device_get(
                     (metrics["loss"][-1], metrics["psnr"][-1],
                      metrics["overflow"][-1], metrics["trunc_by_win"][-1],
-                     metrics["pairs_used"][-1],
-                     jnp.sum(metrics["nonfinite"]),
+                     metrics["pairs_used"][-1], self._nf_acc,
                      self.gaussians.num_alive))
+                self._nf_acc = None
                 if int(nf_h) and log:
                     log(f"WARNING: skipped {int(nf_h)} non-finite step(s) "
-                        f"in the chunk ending at step {self.step}")
+                        f"since the last log (now at step {self.step})")
                 rec = {
                     "step": self.step,
                     "loss": float(loss_h),

@@ -202,6 +202,10 @@ def test_nonfinite_step_guard():
     # the 5 clean steps must still have applied their updates
     ls1 = np.asarray(tr.gaussians.log_scales)
     assert np.abs(ls1 - ls0).max() > 1e-4, "clean steps should still update"
+    # skipped steps must not dilute the densification average: visibility
+    # counts only accumulate on the 5 clean steps
+    assert int(np.asarray(tr.stats.count).max()) == 5, (
+        int(np.asarray(tr.stats.count).max()))
     for v in tr.opt.m.values():
         assert np.all(np.isfinite(np.asarray(v))), "NaN in Adam moments"
     assert np.all(np.isfinite(np.asarray(tr.cam_state[0])))
