@@ -152,12 +152,23 @@ def main(argv=None):
     )
     from fusionsense_tpu.eval.evaluator import make_render_fn
     from fusionsense_tpu.render.rasterize import RasterizeConfig
-    from fusionsense_tpu.train.checkpoint import load_checkpoint
+    from fusionsense_tpu.train.checkpoint import load_checkpoint_full
 
-    gaussians, _, _, _ = load_checkpoint(args.checkpoint)
+    gaussians, _, _, _, cam_state, _ = load_checkpoint_full(args.checkpoint)
     dcfg = DataParserConfig(data_dir=args.data)
     scene = parse_transforms(dcfg)
     camera, _ = load_train_data(scene, dcfg, args.split)
+    # dataset mode on the train split renders the poses the model was
+    # optimized against (learned SE3 deltas); synthetic paths (spiral/
+    # interpolate/camera-path) are novel views — no deltas exist for them
+    if (args.mode == "dataset" and args.split == "train"
+            and cam_state is not None):
+        d = np.asarray(cam_state[0])
+        if d.shape[0] == camera.viewmat.shape[0] and np.any(d != 0):
+            from fusionsense_tpu.core.transforms import apply_se3_delta
+
+            camera = camera.replace(viewmat=np.asarray(
+                apply_se3_delta(camera.viewmat, jnp.asarray(d))))
     if args.mode == "camera-path":
         camera = _load_camera_path(args.camera_path, camera, scene)
     elif args.mode == "interpolate":
