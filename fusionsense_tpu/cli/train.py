@@ -21,6 +21,9 @@ def build_parser():
     p.add_argument("--load-touches", action="store_true",
                    help="Module 3: anchor tactile patches")
     p.add_argument("--iterations", type=int, default=15_000)
+    p.add_argument("--steps-per-save", type=int, default=15_000,
+                   help="periodic checkpoint cadence (reference "
+                        "configs/config.py steps_per_save)")
     p.add_argument("--stop-split-at", type=int, default=10_000)
     p.add_argument("--warmup-length", type=int, default=500)
     p.add_argument("--add-touch-at", type=int, default=1_000)
@@ -84,6 +87,7 @@ def main(argv=None):
             train=TrainConfig(
                 iterations=args.iterations, scan_chunk=args.scan_chunk,
                 add_touch_at=args.add_touch_at,
+                steps_per_save=args.steps_per_save,
                 adc=ADCConfig(warmup=args.warmup_length,
                               stop_split_at=args.stop_split_at),
             ),
