@@ -209,3 +209,39 @@ def test_nonfinite_step_guard():
     for v in tr.opt.m.values():
         assert np.all(np.isfinite(np.asarray(v))), "NaN in Adam moments"
     assert np.all(np.isfinite(np.asarray(tr.cam_state[0])))
+
+
+def test_flat_backend_with_adc_and_auto_budget(fixture_scene):
+    """The production flat compositor through the full trainer machinery:
+    ADC refinement changes the population, render-prefix recompaction
+    changes the binning population, and the pair budget resizes from
+    telemetry — together, on one run."""
+    import dataclasses
+
+    from fusionsense_tpu.gaussians.adc import ADCConfig
+
+    cams, data, rcfg = fixture_scene
+    rcfg = dataclasses.replace(rcfg, backend="flat", tile_capacity=64)
+    cfg = ExperimentConfig(
+        model=ModelConfig(sh_degree=1, rasterize=rcfg, capacity=1024,
+                          binary_opacities=False),
+        train=TrainConfig(iterations=120, scan_chunk=30, log_every=30,
+                          adc=ADCConfig(warmup=30, refine_every=30,
+                                        stop_split_at=100,
+                                        densify_grad_thresh=0.0005,
+                                        reset_alpha_every=10_000)),
+        loss=LossConfig(normal_lambda=0.05, sensor_depth_lambda=0.1),
+    )
+    pts, rgb, _ = sphere_points(n=150, radius=0.5)
+    rng = np.random.RandomState(0)
+    pts = jnp.asarray(np.asarray(pts)
+                      + 0.03 * rng.randn(*pts.shape).astype(np.float32))
+    init = init_from_points(pts, jnp.full_like(rgb, 0.5), capacity=1024,
+                            sh_degree=1)
+    tr = Trainer(cfg, cams, data, init)
+    hist = tr.run(log=None)
+    assert hist[-1]["psnr"] > hist[0]["psnr"], (hist[0], hist[-1])
+    assert int(tr.gaussians.num_alive) != 150, "ADC never changed population"
+    assert hist[-1]["tile_overflow"] == 0
+    assert tr.tile_capacity != 64, "budget never resized from telemetry"
+    assert hist[-1]["nonfinite_steps"] == 0
