@@ -84,10 +84,14 @@ _tile_select_local.defvjp(_tile_select_local_fwd, _tile_select_local_bwd)
 def _render_local_tiles(gaussians: GaussianState, camera: Camera, cam_idx,
                         cfg: ExperimentConfig, tap, step, tile_axis: str,
                         gauss_axis: str = "gauss", n_gauss: int = 1,
-                        cam_delta=None):
+                        cam_delta=None, render_n=None):
     """Rasterize only this device's tile block — restricted to this
     device's depth slice of the Gaussians when n_gauss > 1. Returns
-    (local_tiles (T_loc, P, C+1 last=alpha), proj aux)."""
+    (local_tiles (T_loc, P, C+1 last=alpha), proj aux).
+
+    render_n: static alive-first prefix length (same contract as
+    compute_losses — the trainer keeps alive slots compacted to the
+    front, so projection/binning/compositing only touch the prefix)."""
     mc = cfg.model
     rcfg = mc.rasterize
     means, quats, scales, op, colors = activated(
@@ -95,6 +99,11 @@ def _render_local_tiles(gaussians: GaussianState, camera: Camera, cam_idx,
         opacity_threshold=mc.binary_opacity_threshold)
     colors = colors * sh_band_mask(mc.sh_degree, step,
                                    mc.sh_degree_interval)[None, :, None]
+    if render_n is not None and render_n < gaussians.capacity:
+        means, quats, scales, op, colors = (
+            means[:render_n], quats[:render_n], scales[:render_n],
+            op[:render_n], colors[:render_n])
+        tap = tap[:render_n]
     cam_i = camera.index(cam_idx)
     if cam_delta is not None:
         # the reference camera optimizer applied per forward
@@ -242,11 +251,11 @@ def _render_local_tiles(gaussians: GaussianState, camera: Camera, cam_idx,
 def _sharded_losses(gaussians, camera, data: TrainData, cam_idx, step,
                     cfg: ExperimentConfig, tap, tile_axis: str,
                     gauss_axis: str = "gauss", n_gauss: int = 1,
-                    cam_delta=None):
+                    cam_delta=None, render_n=None):
     local, aux = _render_local_tiles(gaussians, camera, cam_idx, cfg, tap,
                                      step, tile_axis,
                                      gauss_axis=gauss_axis, n_gauss=n_gauss,
-                                     cam_delta=cam_delta)
+                                     cam_delta=cam_delta, render_n=render_n)
     if n_gauss > 1:
         # merge depth slices front-to-back: shard g's tile block attenuated
         # by the product of the nearer shards' transmittances
@@ -276,9 +285,12 @@ def _sharded_losses(gaussians, camera, data: TrainData, cam_idx, step,
     # the FULL DN-Splatter loss stack — identical objective to the
     # single-device path (train/trainer.py loss_terms), incl. masks, mono
     # depth, touch-normal anchoring, sparsity, SDF
+    alive_r = (gaussians.alive[:render_n]
+               if render_n is not None and render_n < gaussians.capacity
+               else gaussians.alive)
     total, (parts, laux) = loss_terms(
         out, aux["normals_g"], gaussians, aux["cam_i"], data, cam_idx, step,
-        cfg, gaussians.alive)
+        cfg, alive_r, render_n=render_n)
     # The full-image loss is computed redundantly on every (tile, gauss)
     # member (each all_gathers the same image). Under check_vma=False the
     # transpose of all_gather is psum_scatter, which SUMS the identical
@@ -297,7 +309,7 @@ def _sharded_losses(gaussians, camera, data: TrainData, cam_idx, step,
 
 def _build_sharded_step(cfg: ExperimentConfig, camera: Camera,
                         data: TrainData, mesh: Mesh, adam_groups=None,
-                        shard_optimizer: bool = False):
+                        shard_optimizer: bool = False, render_n=None):
     """One DP x tile-parallel training step over `mesh`.
 
     cam_indices: (n_data,) int32 — one camera per data shard.
@@ -327,7 +339,8 @@ def _build_sharded_step(cfg: ExperimentConfig, camera: Camera,
             g = gaussians.replace(**params)
             delta = deltas[cam_idx] if use_cam_opt else None
             return _sharded_losses(g, camera, data, cam_idx, step, cfg, tap,
-                                   "tile", n_gauss=n_gauss, cam_delta=delta)
+                                   "tile", n_gauss=n_gauss, cam_delta=delta,
+                                   render_n=render_n)
 
         tap0 = jnp.zeros((gaussians.capacity, 2))
         (loss, (radius, psnr, overflow, trunc_by_win, pairs_used)), grads = (
@@ -406,6 +419,10 @@ def _build_sharded_step(cfg: ExperimentConfig, camera: Camera,
         g2 = gaussians.replace(**params)
         # stats: radius is per-camera; accumulate the max over the batch
         radius = jax.lax.pmax(jax.lax.pmax(radius, "data"), shard_axes)
+        if radius.shape[0] < gaussians.capacity:   # rendered prefix -> pad
+            radius = jnp.concatenate(
+                [radius, jnp.zeros(gaussians.capacity - radius.shape[0],
+                                   radius.dtype)])
         stats2 = accumulate_stats(stats, tap_grad, radius,
                                   camera.width, camera.height)
         # skipped steps must not dilute the densification average
@@ -486,7 +503,8 @@ def make_sharded_train_step(cfg: ExperimentConfig, camera: Camera,
 def make_sharded_train_chunk(cfg: ExperimentConfig, camera: Camera,
                              data: TrainData, mesh: Mesh, adam_groups=None,
                              shard_optimizer: bool = False,
-                             tile_capacity=None, cover_tiles=None):
+                             tile_capacity=None, cover_tiles=None,
+                             render_n=None):
     """Fuse `n` sharded steps into ONE dispatch via lax.scan — the
     multi-chip analog of trainer.make_train_chunk.
 
@@ -496,7 +514,7 @@ def make_sharded_train_chunk(cfg: ExperimentConfig, camera: Camera,
     """
     sharded, opt_spec = _build_sharded_step(
         _override_tile_capacity(cfg, tile_capacity, cover_tiles), camera,
-        data, mesh, adam_groups, shard_optimizer)
+        data, mesh, adam_groups, shard_optimizer, render_n=render_n)
 
     @jax.jit
     def chunk_fn(gaussians, opt, cam_state, stats, step0, cam_indices):

@@ -25,7 +25,9 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from fusionsense_tpu.config import ExperimentConfig
 from fusionsense_tpu.core.cameras import Camera
 from fusionsense_tpu.gaussians.adc import init_stats, refine
-from fusionsense_tpu.gaussians.resize import pick_capacity, resize_train_state
+from fusionsense_tpu.gaussians.resize import (
+    compact_train_state, pick_capacity, render_bucket, resize_train_state,
+)
 from fusionsense_tpu.gaussians.store import GaussianState
 from fusionsense_tpu.parallel.sharded import make_sharded_train_chunk
 from fusionsense_tpu.train.optim import AdamState, init_adam
@@ -81,6 +83,10 @@ class ShardedTrainer:
                                 // cfg.model.rasterize.tile_size))
         self._chunk_cache: dict = {}
         self._opt_spec = None
+        self.render_n = None
+        if cfg.train.render_prefix:
+            self._recompact(int(jax.device_get(gaussians.num_alive)),
+                            pin=False)
         _ = self._train_chunk          # build the initial chunk + opt spec
         self._refine = jax.jit(
             lambda g, o, st, seed, step: refine(
@@ -91,16 +97,37 @@ class ShardedTrainer:
 
     @property
     def _train_chunk(self):
-        key = (self.gaussians.capacity, self.tile_capacity, self.cover_tiles)
+        key = (self.gaussians.capacity, self.render_n, self.tile_capacity,
+               self.cover_tiles)
         fn = self._chunk_cache.get(key)
         if fn is None:
             fn, self._opt_spec = make_sharded_train_chunk(
                 self.cfg, self.camera, self.data, self.mesh,
                 self._adam_groups, shard_optimizer=self.shard_optimizer,
                 tile_capacity=self.tile_capacity,
-                cover_tiles=self.cover_tiles)
+                cover_tiles=self.cover_tiles, render_n=self.render_n)
             self._chunk_cache[key] = fn
         return fn
+
+    def _recompact(self, n_alive: int, pin: bool = True):
+        """Alive-first compaction + render-bucket pick, same hysteresis
+        as the single-device trainer (train/trainer.py _recompact), plus:
+        the bucket is rounded up to a gauss-axis multiple (the depth-slice
+        decomposition splits the prefix across the gauss axis) and the
+        ZeRO-1 moment shards are re-pinned after the slot permutation."""
+        self.gaussians, self.opt, self.stats = compact_train_state(
+            self.gaussians, self.opt, self.stats)
+        want = render_bucket(n_alive, self.gaussians.capacity)
+        n_gauss = self.mesh.shape.get("gauss", 1)
+        want = min(-(-want // n_gauss) * n_gauss, self.gaussians.capacity)
+        if (self.render_n is None or want > self.render_n
+                or want * 1.5 <= self.render_n
+                or want == self.gaussians.capacity):
+            self.render_n = want
+        else:
+            self.render_n = min(self.render_n, self.gaussians.capacity)
+        if pin and self.shard_optimizer:
+            self.opt = self._pin_opt(self.opt)
 
     def _pin_opt(self, opt: AdamState) -> AdamState:
         """Place ZeRO-1 moment shards on their data-axis layout."""
@@ -192,6 +219,9 @@ class ShardedTrainer:
             assert self.gaussians.capacity % self.n_data == 0, (
                 "ZeRO-1 resume needs checkpoint capacity divisible by the "
                 "data axis")
+        if self.cfg.train.render_prefix:
+            self._recompact(int(jax.device_get(self.gaussians.num_alive)),
+                            pin=False)
         _ = self._train_chunk          # (re)build chunk + opt spec
         if self.shard_optimizer:
             self.opt = self._pin_opt(self.opt)
@@ -234,7 +264,12 @@ class ShardedTrainer:
                 # same protocol as Trainer.extra_callbacks: truthy return
                 # = the store/optimizer was mutated
                 mutated |= bool(cb(self))
-            if mutated and self.shard_optimizer:
+            if mutated and cfg.train.render_prefix:
+                # the prefix must track the population every time it can
+                # change (alive slots past render_n never rasterize);
+                # _recompact re-pins the ZeRO shards itself
+                self._recompact(int(jax.device_get(self.gaussians.num_alive)))
+            elif mutated and self.shard_optimizer:
                 self.opt = self._pin_opt(self.opt)
 
             if (self.image_log_dir is not None
@@ -278,6 +313,9 @@ class ShardedTrainer:
                                                self.stats, new_capacity=cap))
                         if self.shard_optimizer:
                             self.opt = self._pin_opt(self.opt)
+                # render-prefix upkeep piggybacks on the same host sync
+                if cfg.train.render_prefix:
+                    self._recompact(int(n_alive))
                 self._maybe_bump_tile_capacity(int(ovf_h))
                 self._maybe_resize_pair_budget(int(pu_h))
                 self._maybe_adjust_cover_window(tbw_h)

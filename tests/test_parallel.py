@@ -429,3 +429,42 @@ def test_sharded_trainer_save_restore_roundtrip(scene, tmp_path):
     assert tr.step == 5
     tr.run(iterations=10, log=None)
     assert np.isfinite(tr.history[-1]["loss"])
+
+
+def test_sharded_render_prefix_matches_single_device(scene, tmp_path):
+    """The multi-chip render-prefix path (alive-first compaction + sliced
+    rasterization population under the mesh): a capacity-2048 store with
+    ~200 alive must pick a 1024 bucket, actually slice, and track the
+    single-device prefix trainer."""
+    from fusionsense_tpu.parallel.trainer import ShardedTrainer
+    from fusionsense_tpu.train.trainer import Trainer
+
+    cams, data, rcfg = scene
+    cfg = ExperimentConfig(
+        model=ModelConfig(sh_degree=1, rasterize=rcfg, capacity=2048,
+                          binary_opacities=False),
+        train=TrainConfig(iterations=40, scan_chunk=20, log_every=20,
+                          auto_capacity=False, render_prefix=True),
+        loss=LossConfig(normal_lambda=0.1, sensor_depth_lambda=0.2),
+    )
+    pts, rgb, _ = sphere_points(n=200, radius=0.5)
+    init = init_from_points(pts, jnp.full_like(rgb, 0.5), capacity=2048,
+                            sh_degree=1)
+
+    mesh = make_mesh(8, data=2, tile=2, gauss=2)
+    st = ShardedTrainer(cfg, cams, data, init, mesh, shard_optimizer=True)
+    assert st.render_n == 1024, st.render_n      # prefix genuinely < capacity
+    hist_sh = st.run(log=None)
+
+    tr = Trainer(cfg, cams, data, init)
+    assert tr.render_n == 1024
+    hist_1 = tr.run(log=None)
+
+    psnr_sh, psnr_1 = hist_sh[-1]["psnr"], hist_1[-1]["psnr"]
+    assert np.isfinite(psnr_sh) and np.isfinite(psnr_1)
+    assert psnr_sh > psnr_1 - 0.2, (psnr_sh, psnr_1)
+    # checkpoint round-trips through the prefix path too
+    st.save(tmp_path / "ckpt_rp")
+    st2 = ShardedTrainer(cfg, cams, data, init, mesh, shard_optimizer=True)
+    st2.restore(tmp_path / "ckpt_rp")
+    assert st2.render_n == 1024
