@@ -22,32 +22,63 @@ from fusionsense_tpu.render.rasterize import (
 )
 
 
+MAX_RENDER_PAIR_BUDGET = 16384
+
+
 def make_render_fn(cfg: RasterizeConfig, camera: Camera,
-                   binary_opacities: bool = False, cam_deltas=None):
-    """Jitted view renderer: (gaussians, cam_idx) -> RenderOutputs.
+                   binary_opacities: bool = False, cam_deltas=None,
+                   max_budget: int = MAX_RENDER_PAIR_BUDGET):
+    """View renderer: (gaussians, cam_idx) -> RenderOutputs.
 
     cam_deltas: optional (V, 6) SE3 pose corrections from the trainer's
     camera optimizer — applied exactly as in training, so eval on train
     views uses the OPTIMIZED poses (the reference's eval_setup restores
     its camera optimizer the same way; nerfstudio camera_opt consumed at
-    reference dn_model.py:488)."""
+    reference dn_model.py:488).
+
+    Flat backend: the pair budget auto-grows on overflow. Training's
+    adaptive budget protects training renders, but inference-style renders
+    (eval, TSDF/level-set meshing, video) would otherwise silently drop
+    whole trailing tiles whenever the scene outgrew cfg.tile_capacity —
+    measured ~9 dB of GT corruption on the bench scene. Each growth
+    recompiles once and sticks for subsequent views."""
+    import dataclasses
+
     deltas = None if cam_deltas is None else jnp.asarray(cam_deltas)
 
-    @jax.jit
-    def render(gaussians: GaussianState, cam_idx):
-        means, quats, scales, op, colors = activated(
-            gaussians, binary_opacity_snap=binary_opacities)
-        cam_i = camera.index(cam_idx)
-        if deltas is not None:
-            from fusionsense_tpu.core.transforms import apply_se3_delta
+    def build(rcfg):
+        @jax.jit
+        def render(gaussians: GaussianState, cam_idx):
+            means, quats, scales, op, colors = activated(
+                gaussians, binary_opacity_snap=binary_opacities)
+            cam_i = camera.index(cam_idx)
+            if deltas is not None:
+                from fusionsense_tpu.core.transforms import apply_se3_delta
 
-            cam_i = cam_i.replace(
-                viewmat=apply_se3_delta(cam_i.viewmat, deltas[cam_idx]))
-        normals = gaussian_flat_normals(quats, scales, means, cam_i.origin)
-        return rasterize(means, quats, scales, op, colors, cam_i, cfg,
-                         normals=normals)
+                cam_i = cam_i.replace(
+                    viewmat=apply_se3_delta(cam_i.viewmat, deltas[cam_idx]))
+            normals = gaussian_flat_normals(quats, scales, means,
+                                            cam_i.origin)
+            return rasterize(means, quats, scales, op, colors, cam_i, rcfg,
+                             normals=normals)
 
-    return render
+        return render
+
+    if cfg.backend != "flat":
+        return build(cfg)
+
+    state = {"budget": cfg.tile_capacity, "fn": build(cfg)}
+
+    def render_retry(gaussians: GaussianState, cam_idx):
+        out = state["fn"](gaussians, cam_idx)
+        while int(out.overflow) > 0 and state["budget"] < max_budget:
+            state["budget"] = min(state["budget"] * 2, max_budget)
+            state["fn"] = build(
+                dataclasses.replace(cfg, tile_capacity=state["budget"]))
+            out = state["fn"](gaussians, cam_idx)
+        return out
+
+    return render_retry
 
 
 def evaluate(

@@ -41,11 +41,23 @@ def available() -> bool:
         return True
     path = _jax_weights_path()
     if path is not None:
-        from fusionsense_tpu.eval.lpips_jax import load_lpips_params
+        # a corrupt/schema-mismatched weights file must degrade through
+        # the fallback chain (lpips -> torchmetrics -> skip), not turn
+        # every eval into a raise — smoke-infer on a tiny pair to catch
+        # shape mismatches before caching the backend choice
+        try:
+            from fusionsense_tpu.eval.lpips_jax import (
+                load_lpips_params, lpips_pair,
+            )
 
-        _params = load_lpips_params(path)
-        _kind = "jax"
-        return True
+            params = load_lpips_params(path)
+            z = np.zeros((16, 16, 3), np.float32)
+            float(lpips_pair(params, z, z))
+            _params = params
+            _kind = "jax"
+            return True
+        except Exception:
+            pass
     try:
         import lpips as _lpips  # type: ignore
 

@@ -84,7 +84,7 @@ _tile_select_local.defvjp(_tile_select_local_fwd, _tile_select_local_bwd)
 def _render_local_tiles(gaussians: GaussianState, camera: Camera, cam_idx,
                         cfg: ExperimentConfig, tap, step, tile_axis: str,
                         gauss_axis: str = "gauss", n_gauss: int = 1,
-                        cam_delta=None, render_n=None):
+                        cam_delta=None, render_n=None, abs_tap=None):
     """Rasterize only this device's tile block — restricted to this
     device's depth slice of the Gaussians when n_gauss > 1. Returns
     (local_tiles (T_loc, P, C+1 last=alpha), proj aux).
@@ -104,6 +104,10 @@ def _render_local_tiles(gaussians: GaussianState, camera: Camera, cam_idx,
             means[:render_n], quats[:render_n], scales[:render_n],
             op[:render_n], colors[:render_n])
         tap = tap[:render_n]
+        if abs_tap is not None:
+            abs_tap = abs_tap[:render_n]
+    if abs_tap is None:
+        abs_tap = jnp.zeros((means.shape[0], 2))
     cam_i = camera.index(cam_idx)
     if cam_delta is not None:
         # the reference camera optimizer applied per forward
@@ -167,7 +171,7 @@ def _render_local_tiles(gaussians: GaussianState, camera: Camera, cam_idx,
         log_op = jnp.where(valid, jnp.log(jnp.maximum(opc, 1e-12)), -1e10)
         cols = [mean2d[:, 0:1], mean2d[:, 1:2], proj.conic[:, 0:1],
                 proj.conic[:, 1:2], proj.conic[:, 2:3], log_op[:, None],
-                jnp.zeros((mean2d.shape[0], 2)), channels]
+                abs_tap, channels]
         if pad_c:
             cols.append(jnp.zeros((mean2d.shape[0], pad_c)))
         table_n = jnp.concatenate(cols, axis=-1)
@@ -214,7 +218,7 @@ def _render_local_tiles(gaussians: GaussianState, camera: Camera, cam_idx,
         log_op = jnp.where(valid, jnp.log(jnp.maximum(opc, 1e-12)), -1e10)
         cols = [mean2d[:, 0:1], mean2d[:, 1:2], proj.conic[:, 0:1],
                 proj.conic[:, 1:2], proj.conic[:, 2:3], log_op[:, None],
-                jnp.zeros((mean2d.shape[0], 2)), channels]
+                abs_tap, channels]
         if pad_c:
             cols.append(jnp.zeros((mean2d.shape[0], pad_c)))
         table_n = jnp.concatenate(cols, axis=-1)
@@ -251,11 +255,12 @@ def _render_local_tiles(gaussians: GaussianState, camera: Camera, cam_idx,
 def _sharded_losses(gaussians, camera, data: TrainData, cam_idx, step,
                     cfg: ExperimentConfig, tap, tile_axis: str,
                     gauss_axis: str = "gauss", n_gauss: int = 1,
-                    cam_delta=None, render_n=None):
+                    cam_delta=None, render_n=None, abs_tap=None):
     local, aux = _render_local_tiles(gaussians, camera, cam_idx, cfg, tap,
                                      step, tile_axis,
                                      gauss_axis=gauss_axis, n_gauss=n_gauss,
-                                     cam_delta=cam_delta, render_n=render_n)
+                                     cam_delta=cam_delta, render_n=render_n,
+                                     abs_tap=abs_tap)
     if n_gauss > 1:
         # merge depth slices front-to-back: shard g's tile block attenuated
         # by the product of the nearer shards' transmittances
@@ -331,22 +336,33 @@ def _build_sharded_step(cfg: ExperimentConfig, camera: Camera,
                                         every_k=cfg.train.camera_opt_every_k,
                                         eps=1e-8)}
 
+    # both Pallas backends write per-tile |d mean2d| into table cols 6-7;
+    # the tap's gradient is then gsplat's absgrad statistic. The "jax"
+    # backend has no tap (its gradient is identically zero), so it keeps
+    # the signed summed gradient.
+    use_absgrad = cfg.model.rasterize.backend in ("pallas", "flat")
+
     def step_fn(gaussians, opt, cam_state, stats, step, cam_indices):
         cam_idx = cam_indices[0]   # local shard has exactly one camera
         cam_deltas, cam_opt = cam_state
 
-        def loss_fn(params, tap, deltas):
+        def loss_fn(params, tap, deltas, a_tap):
             g = gaussians.replace(**params)
             delta = deltas[cam_idx] if use_cam_opt else None
             return _sharded_losses(g, camera, data, cam_idx, step, cfg, tap,
                                    "tile", n_gauss=n_gauss, cam_delta=delta,
-                                   render_n=render_n)
+                                   render_n=render_n, abs_tap=a_tap)
 
         tap0 = jnp.zeros((gaussians.capacity, 2))
         (loss, (radius, psnr, overflow, trunc_by_win, pairs_used)), grads = (
-            jax.value_and_grad(loss_fn, argnums=(0, 1, 2), has_aux=True)
-            (gaussians.params(), tap0, cam_deltas))
-        param_grads, tap_grad, delta_grads = grads
+            jax.value_and_grad(loss_fn, argnums=(0, 1, 2, 3), has_aux=True)
+            (gaussians.params(), tap0, cam_deltas, tap0))
+        param_grads, tap_grad, delta_grads, abs_grad = grads
+        if use_absgrad:
+            # per-tile absolute contributions: each (tile, splat) pair lives
+            # on exactly one tile/gauss shard, so the psum over shard axes
+            # below reassembles the exact single-device sum over tiles
+            tap_grad = abs_grad
 
         # non-finite step guard (same as the single-device chunk): every
         # shard checks its LOCAL loss/grads, then a pmin over all mesh axes

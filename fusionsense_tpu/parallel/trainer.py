@@ -183,7 +183,12 @@ class ShardedTrainer:
         if not tc.auto_cover_window:
             return
         cap_tiles = self.cfg.model.rasterize.max_tiles_per_gaussian
-        tol = tc.cover_trunc_frac * self.gaussians.capacity
+        # tolerance scales with the RENDER population, like the
+        # single-device policy: against a large capacity bucket with a
+        # small live population the capacity-based tolerance would let the
+        # window shrink while dropping visible splats from whole tiles
+        pop = self.render_n or self.gaussians.capacity
+        tol = tc.cover_trunc_frac * pop
         cur_w = max(1, int(_math.isqrt(self.cover_tiles)))
         w_max = min(5, max(1, int(_math.isqrt(cap_tiles))))
         want_w = w_max

@@ -246,6 +246,21 @@ class ReconstructionPipeline:
         self.trainer.save(self.out / f"ckpt_{self.trainer.step}")
         return hist
 
+    def _render_rcfg(self):
+        """Rasterize config for post-training renders: start from the
+        trainer's adaptively-grown pair budget, not the config's initial
+        one — a flat-backend budget that grew during training would
+        otherwise silently drop whole trailing tiles from eval images and
+        mesh depth renders (make_render_fn additionally auto-grows on
+        overflow as a backstop)."""
+        import dataclasses
+
+        rc = self.cfg.experiment.model.rasterize
+        grown = getattr(self.trainer, "tile_capacity", rc.tile_capacity)
+        if grown > rc.tile_capacity:
+            rc = dataclasses.replace(rc, tile_capacity=grown)
+        return rc
+
     # ------------------------------------------------------------ mesh ----
     def extract_mesh(self, method: str = "tsdf", **kw):
         from fusionsense_tpu.mesh_export import extract
@@ -255,7 +270,7 @@ class ReconstructionPipeline:
                   if self.cfg.experiment.train.camera_opt else None)
         return extract(
             method, self.trainer.gaussians, self.camera,
-            rasterize_cfg=self.cfg.experiment.model.rasterize,
+            rasterize_cfg=self._render_rcfg(),
             out_dir=self.out, untransform=self.scene.untransform_points,
             hull_points=self.hull_points, cam_deltas=deltas, **kw)
 
@@ -272,7 +287,7 @@ class ReconstructionPipeline:
                   if split == "train"
                   and self.cfg.experiment.train.camera_opt else None)
         res = evaluate(self.trainer.gaussians, cam, data,
-                       self.cfg.experiment.model.rasterize,
+                       self._render_rcfg(),
                        cam_deltas=deltas)
         with open(self.out / "metrics.json", "w") as f:
             json.dump(res, f, indent=2)

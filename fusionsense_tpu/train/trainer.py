@@ -254,7 +254,11 @@ def make_train_chunk(cfg: ExperimentConfig, camera: Camera, data: TrainData,
         gaussians, opt, cam_state, stats, step = carry
         cam_deltas, cam_opt = cam_state
 
-        use_absgrad = cfg.model.rasterize.backend == "pallas"
+        # both Pallas backends surface gsplat-style absgrad through the
+        # table transpose (dense: pallas_composite2 cols 6-7; flat:
+        # pallas_flat cols 6-7) — the "jax" backend has no tap and falls
+        # back to the signed summed gradient
+        use_absgrad = cfg.model.rasterize.backend in ("pallas", "flat")
 
         def loss_fn(params, tap, deltas, abs_tap):
             g = gaussians.replace(**params)
