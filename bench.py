@@ -8,17 +8,26 @@ full DN loss stack: RGB DSSIM+L1 + edge-aware depth + normal + smoothness +
 flatness, densification stats accumulation) at 640x480 with ~100k padded
 Gaussian capacity.
 
-vs_baseline anchor: 10 it/s, a PIPELINE-CLASS anchor — the reference
-trains 15k iters on scenes of this class in tens of minutes on one CUDA
-GPU through nerfstudio's full loop (two gsplat rasterizer calls + DN
-losses + datamanager/callback overhead). A kernel-only H100 gsplat number
-for this workload would be far higher (~1-2 ms/step) but compares a bare
-CUDA kernel on a ~10x-throughput part against a full training step on one
-v5e chip; docs/DESIGN.md §5b carries the roofline analysis and shows the
-compositing kernel itself runs at ~VPU speed-of-light on this chip.
+Primary comparators (extra.*): `roofline_frac` — the measured step time
+against this chip's OWN compositing light-speed (docs/DESIGN.md §5b model:
+the flat kernel evaluates pairs_used x tile_size^2 alphas fwd+bwd at ~45
+f32 VPU op-equivalents each against the v5e VPU's ~4 T-op/s) — and
+`mpix_per_sec_rasterized`. `vs_baseline` stays as a labeled SECONDARY:
+10 it/s is a PIPELINE-CLASS anchor — the reference trains 15k iters on
+scenes of this class in tens of minutes on one CUDA GPU through
+nerfstudio's full loop (two gsplat rasterizer calls + DN losses +
+datamanager/callback overhead). A kernel-only H100 gsplat number would be
+far higher but compares a bare CUDA kernel on a ~10x-throughput part
+against a full training step on one v5e chip (DESIGN.md §5b "anchor
+honesty").
 
 Everything is pre-built on host (numpy) and runs as jitted scans — no eager
 dispatch in the measured region.
+
+Resilience: run without --once and the wrapper probes the TPU tunnel and
+retries with a fresh process on transient backend-init failures (the
+round-3 outage turned the round's bench into rc=1; a bounded retry
+degrades that to a late number instead).
 """
 from __future__ import annotations
 
@@ -28,6 +37,8 @@ import time
 import numpy as np
 
 BASELINE_ITERS_PER_SEC = 10.0
+VPU_OPS_PER_ALPHA = 45.0        # transcendentals + conic quadratic + blend
+V5E_VPU_OPS_PER_SEC = 4e12      # per-chip f32 op-equivalents
 
 WIDTH, HEIGHT = 640, 480
 N_VIEWS = 9
@@ -155,6 +166,16 @@ def main():
     iters_per_sec = steps / dt
     mpix_per_sec = iters_per_sec * WIDTH * HEIGHT / 1e6
 
+    # chip-own roofline (DESIGN.md §5b): light-speed step = compositing
+    # fwd+bwd alpha evaluations only — pairs x P pixels x ~45 ops x 2
+    # sweeps at the VPU's ~4 T-op/s. Everything else (binning sort,
+    # gathers, losses, Adam) is overhead the design tries to hide.
+    pairs = float(tr.tile_capacity) * tr._grid_tiles
+    P = rcfg.tile_size ** 2
+    light_ms = pairs * P * VPU_OPS_PER_ALPHA * 2 / V5E_VPU_OPS_PER_SEC * 1e3
+    step_ms = dt / steps * 1e3
+    roofline_frac = light_ms / step_ms
+
     # quality at a FIXED horizon (3000 steps), so throughput and quality
     # come from the same run/configuration (VERDICT r2: no split-brained
     # bench) — the auto-K/window policies have settled by the measured
@@ -168,6 +189,12 @@ def main():
         "unit": "iters/sec",
         "vs_baseline": round(iters_per_sec / BASELINE_ITERS_PER_SEC, 3),
         "extra": {
+            # primary comparators (vs_baseline is a labeled secondary:
+            # pipeline-class 10 it/s anchor, see module docstring)
+            "roofline_frac": round(roofline_frac, 3),
+            "kernel_light_speed_ms": round(light_ms, 2),
+            "step_ms": round(step_ms, 2),
+            "vs_baseline_kind": "pipeline-class 10 it/s anchor (secondary)",
             "mpix_per_sec_rasterized": round(mpix_per_sec, 2),
             "num_gaussians": int(tr.gaussians.num_alive),
             "capacity": tr.gaussians.capacity,
@@ -183,5 +210,63 @@ def main():
     }))
 
 
+def _probe_tunnel(timeout_s: int = 120) -> bool:
+    """Can a fresh process see a jax backend? (A wedged axon tunnel hangs
+    at first device query, so the probe needs a hard timeout.)"""
+    import subprocess
+    import sys
+
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c", "import jax; jax.devices()"],
+            timeout=timeout_s, capture_output=True)
+        return r.returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
+
+
+def main_with_retry(budget_s: float = 2400.0, bench_timeout_s: int = 3000):
+    """Bounded retry-with-reinit: a transient tunnel outage degrades to a
+    late number instead of an empty round. Each attempt is a FRESH process
+    (a failed backend init poisons the in-process jax client), gated by a
+    cheap device probe."""
+    import subprocess
+    import sys
+
+    t0 = time.time()
+    last_err = "no attempt ran"
+    attempt = 0
+    while True:
+        attempt += 1
+        if _probe_tunnel():
+            try:
+                r = subprocess.run(
+                    [sys.executable, __file__, "--once"],
+                    timeout=bench_timeout_s, capture_output=True, text=True)
+            except subprocess.TimeoutExpired:
+                last_err = f"attempt {attempt}: bench timed out"
+            else:
+                if r.returncode == 0:
+                    sys.stdout.write(r.stdout)
+                    return 0
+                last_err = (f"attempt {attempt}: rc={r.returncode}: "
+                            + r.stderr.strip().splitlines()[-1][:300]
+                            if r.stderr.strip() else
+                            f"attempt {attempt}: rc={r.returncode}")
+        else:
+            last_err = f"attempt {attempt}: device probe failed (tunnel down)"
+        if time.time() - t0 > budget_s:
+            print(f"bench failed after {attempt} attempt(s): {last_err}",
+                  file=sys.stderr)
+            return 1
+        print(f"{last_err}; retrying in 240s", file=sys.stderr)
+        time.sleep(240)
+
+
 if __name__ == "__main__":
-    main()
+    import sys
+
+    if "--once" in sys.argv:
+        main()
+    else:
+        sys.exit(main_with_retry())
