@@ -60,7 +60,18 @@ def main(argv=None):
 
         gt = read_ply(args.gt_mesh)["points"]
         pred = read_ply(args.pred_mesh)["points"]
-        res["chamfer"] = chamfer_eval(pred, gt, gt_unit_scale=args.gt_mesh_unit)
+        # per-touch-site local chamfer when the capture has tactile data
+        # (reference touch_CD_eval reads gelsight_transform.json centers,
+        # eval_utils/chamfer_evaluation.py:101-114)
+        centers = None
+        if scene.touch_patches:
+            import numpy as _np
+
+            centers = _np.stack(
+                [p.bbox_center for p in scene.touch_patches])
+        res["chamfer"] = chamfer_eval(pred, gt,
+                                      gt_unit_scale=args.gt_mesh_unit,
+                                      touch_centers=centers)
 
     with open(args.output_path, "w") as f:
         json.dump(res, f, indent=2)

@@ -64,3 +64,53 @@ def test_mask_image():
     out = mask_image(rgb, mask)
     assert out[1, 1, 0] == 0.5
     assert out[0, 0, 0] == 1.0
+
+
+def _l_shape_cloud(n=4000, seed=0):
+    """Asymmetric L-shaped volume cloud (no rotational symmetry)."""
+    rng = np.random.RandomState(seed)
+    a = rng.rand(n // 2, 3) * [0.4, 0.1, 0.1]
+    b = rng.rand(n // 2, 3) * [0.1, 0.25, 0.1]
+    return np.concatenate([a, b]).astype(np.float64)
+
+
+def test_chamfer_global_registration_recovers_90deg():
+    """chamfer_eval must align a 90deg-misaligned cloud: trimmed ICP alone
+    converges to a wrong basin there; the rotation-search global init is
+    the reference's FPFH+RANSAC stage
+    (reference eval_utils/chamfer_evaluation.py:117-137)."""
+    from fusionsense_tpu.eval.chamfer import chamfer_eval, icp_align
+    from fusionsense_tpu.eval.metrics import chamfer_distance
+
+    gt = _l_shape_cloud(seed=0)
+    Rz = np.array([[0.0, -1.0, 0.0], [1.0, 0.0, 0.0], [0.0, 0.0, 1.0]])
+    pred = _l_shape_cloud(seed=1) @ Rz.T + np.array([0.3, -0.2, 0.1])
+
+    # the two independent volume samplings set an inherent chamfer floor;
+    # a recovered alignment must land on it (measured ~0.09)
+    floor = chamfer_distance(_l_shape_cloud(seed=1), gt)
+    res = chamfer_eval(pred, gt)
+    assert res["chamfer_x1e3"] < 1.2 * floor, (res, floor)
+
+    # and the global stage is what does it: ICP-only lands in a bad basin
+    aligned_noinit, _ = icp_align(pred, gt, global_init=False)
+    assert chamfer_distance(aligned_noinit, gt) > 5 * res["chamfer_x1e3"]
+
+
+def test_chamfer_local_touch_sites():
+    """Per-touch-site local chamfer rides the global alignment transform
+    (reference local_CD/touch_CD_eval, chamfer_evaluation.py:82-114)."""
+    from fusionsense_tpu.eval.chamfer import chamfer_eval, local_chamfer
+
+    gt = _l_shape_cloud(seed=0)
+    pred = _l_shape_cloud(seed=1) + np.array([0.05, 0.0, 0.0])
+    centers = np.array([[0.2, 0.05, 0.05], [0.05, 0.2, 0.05]])
+    res = chamfer_eval(pred, gt, touch_centers=centers - [0.05, 0, 0],
+                       touch_radius=0.06)
+    assert len(res["local_chamfer_x1e3"]) == 2
+    assert np.isfinite(res["local_chamfer_x1e3_mean"])
+    assert res["local_chamfer_x1e3_mean"] < 1.0, res
+
+    # exclude_site mode replicates the reference's literal filter
+    vals = local_chamfer(gt, gt, centers, radius=0.06, mode="exclude_site")
+    assert all(v < 1e-9 for v in vals)
