@@ -55,39 +55,46 @@ def _f64(params):
 
 TINY = dict(embed_dim=16, depths=(1, 1, 1, 1), num_heads=(1, 2, 2, 2),
             window=4)
+# GLIP Swin-L, the width the reference actually deploys
+# (PartSlip/GLIP/.../backbone/swint.py:623 via configs/pretrain/
+# glip_Swin_L.yaml: embed 192, depths 2/2/18/2, window 12) — exercises
+# the window-12 relative-position bias tables (23x23), the real GN/head
+# splits, and the 18-block stage3 that tiny configs cannot.
+SWIN_L = dict(embed_dim=192, depths=(2, 2, 18, 2),
+              num_heads=(6, 12, 24, 48), window=12)
 
 
-def _tiny_swin_pair():
+def _swin_pair(spec, seed=0):
     from fusionsense_tpu.detection.swin import SwinConfig
 
     swint = load_swint()
-    torch.manual_seed(0)
+    torch.manual_seed(seed)
     net = swint.SwinTransformer(
         pretrain_img_size=224, patch_size=4, in_chans=3,
-        embed_dim=TINY["embed_dim"], depths=list(TINY["depths"]),
-        num_heads=list(TINY["num_heads"]), window_size=TINY["window"],
+        embed_dim=spec["embed_dim"], depths=list(spec["depths"]),
+        num_heads=list(spec["num_heads"]), window_size=spec["window"],
         ape=False, drop_path_rate=0.0,
         out_features=["stage3", "stage4", "stage5"],
         frozen_stages=-1, use_checkpoint=False)
     net.eval()          # reference train() override returns None
     net = net.double()
-    _randomize(net)
-    cfg = SwinConfig(embed_dim=TINY["embed_dim"], depths=TINY["depths"],
-                     num_heads=TINY["num_heads"], window=TINY["window"])
+    _randomize(net, seed)
+    cfg = SwinConfig(embed_dim=spec["embed_dim"], depths=spec["depths"],
+                     num_heads=spec["num_heads"], window=spec["window"])
     return net, cfg
 
 
-def test_swin_stage_parity():
+def _run_swin_parity(spec, hw, seed=0):
     from fusionsense_tpu.detection.convert import convert_state_dict
     from fusionsense_tpu.detection.swin import SwinTransformer
 
-    net, cfg = _tiny_swin_pair()
+    net, cfg = _swin_pair(spec, seed)
     state = {f"backbone.body.{k}": v.numpy()
              for k, v in net.state_dict().items()}
     params = _f64(convert_state_dict(state, depths=cfg.depths)["backbone"])
 
-    rng = np.random.default_rng(0)
-    img = rng.normal(size=(3, 64, 96)).astype(np.float32).astype(np.float64)
+    rng = np.random.default_rng(seed)
+    img = rng.normal(size=(3, *hw)).astype(np.float32).astype(np.float64)
     with torch.no_grad():
         ref = net(torch.from_numpy(img[None]))
     with enable_x64():
@@ -99,6 +106,19 @@ def test_swin_stage_parity():
         g = np.transpose(np.asarray(g), (2, 0, 1))
         np.testing.assert_allclose(g, r, rtol=1e-8, atol=1e-9,
                                    err_msg=f"stage {lv}")
+
+
+def test_swin_stage_parity():
+    _run_swin_parity(TINY, (64, 96))
+
+
+@pytest.mark.slow
+def test_swin_large_stage_parity():
+    """Full-width Swin-L round trip (VERDICT r3 directive #4). 96x144
+    input gives a 24x36 stage-1 map: multi-window partitioning AND
+    shifted-window attention masks at window 12, plus window padding at
+    the deeper stages."""
+    _run_swin_parity(SWIN_L, (96, 144), seed=11)
 
 
 def test_fpn_parity():
@@ -215,7 +235,8 @@ def _head_cfg(channels, num_convs, lang_dim, max_len):
     return c
 
 
-def test_vldyhead_parity():
+def _run_vldyhead_parity(channels, num_convs, lang_dim, T, base_hw,
+                         n_levels, bert_heads, intermediate, seed=3):
     """Full tower round-trip: torch VLDyHead (reference source, CPU deform
     shim) vs flax VLDyHead — per-level bbox/centerness/dot-product logits.
     Includes the exact replication of the reference's offset-buffer
@@ -229,34 +250,33 @@ def test_vldyhead_parity():
     from fusionsense_tpu.detection.head import VLDyHead
 
     vld = load_vldyhead()
-    channels, num_convs, lang_dim, T = 32, 2, 32, 16
     hf_cfg = transformers.BertConfig(
         vocab_size=64, hidden_size=lang_dim, num_hidden_layers=1,
-        num_attention_heads=2, intermediate_size=64,
+        num_attention_heads=bert_heads, intermediate_size=intermediate,
         hidden_dropout_prob=0.0, attention_probs_dropout_prob=0.0)
     old_bc = vld.BertConfig
     vld.BertConfig = types.SimpleNamespace(
         from_pretrained=lambda name: hf_cfg)
     try:
         cfg = _head_cfg(channels, num_convs, lang_dim, T)
-        torch.manual_seed(3)
+        torch.manual_seed(seed)
         net = vld.VLDyHead(cfg)
     finally:
         vld.BertConfig = old_bc
     net.eval()
     net = net.double()
-    _randomize(net, 3)
+    _randomize(net, seed)
 
     state = {f"rpn.head.{k}": v.numpy() for k, v in net.state_dict().items()}
     params = _f64(convert_state_dict(state, num_convs=num_convs,
                                      bert_layers=1)["head"])
     # tower lang layers: converter path head/lang_layer_{i} comes from the
     # same per-layer rules used for the backbone
-    rng = np.random.default_rng(3)
+    rng = np.random.default_rng(seed)
     # ceil-division pyramid (like a real FPN): stride-2 convs between
     # adjacent levels then produce exactly the next level's shape
-    sizes, h, w = [], 16, 24
-    for _ in range(5):
+    sizes, (h, w) = [], base_hw
+    for _ in range(n_levels):
         sizes.append((h, w))
         h, w = -(-h // 2), -(-w // 2)
     feats = [rng.normal(size=(channels, hh, ww))
@@ -264,7 +284,8 @@ def test_vldyhead_parity():
     hidden = rng.normal(size=(T, lang_dim)).astype(np.float32) \
         .astype(np.float64)
     mask = np.ones(T, np.int64)
-    mask[12:] = 0
+    mask[T - 4:] = 0
+    valid = T - 4
 
     with torch.no_grad():
         logits, bbox_reg, centerness, *_rest, dot_logits, _mlm, _sh, _fv = \
@@ -273,15 +294,16 @@ def test_vldyhead_parity():
                     "hidden": torch.from_numpy(hidden[None]),
                     "masks": torch.from_numpy(mask[None])})
 
-    bert_cfg = BertConfig(vocab_size=64, hidden=lang_dim, layers=1, heads=2,
-                          intermediate=64, max_positions=64)
+    bert_cfg = BertConfig(vocab_size=64, hidden=lang_dim, layers=1,
+                          heads=bert_heads, intermediate=intermediate,
+                          max_positions=max(64, T))
     model = VLDyHead(bert_cfg, channels, num_convs, fuse_embed=2048)
     with enable_x64():
         got = model.apply({"params": params},
                           [np.transpose(f, (1, 2, 0)) for f in feats],
                           hidden, mask)
 
-    for lv in range(5):
+    for lv in range(n_levels):
         bbox_t = bbox_reg[lv].numpy()[0]          # (4, h, w)
         ctr_t = centerness[lv].numpy()[0, 0]      # (h, w)
         dot_t = dot_logits[lv].numpy()[0]         # (HW, T)
@@ -293,6 +315,67 @@ def test_vldyhead_parity():
         np.testing.assert_allclose(np.asarray(ctr_g).reshape(h, w), ctr_t,
                                    rtol=1e-7, atol=1e-8,
                                    err_msg=f"ctr level {lv}")
-        np.testing.assert_allclose(np.asarray(dot_g)[:, :12],
-                                   dot_t[:, :12], rtol=1e-7, atol=1e-8,
+        np.testing.assert_allclose(np.asarray(dot_g)[:, :valid],
+                                   dot_t[:, :valid], rtol=1e-7, atol=1e-8,
                                    err_msg=f"dot level {lv}")
+
+
+def test_vldyhead_parity():
+    _run_vldyhead_parity(channels=32, num_convs=2, lang_dim=32, T=16,
+                         base_hw=(16, 24), n_levels=5, bert_heads=2,
+                         intermediate=64)
+
+
+@pytest.mark.slow
+def test_vldyhead_full_width_parity():
+    """Full-width VLDyHead (VERDICT r3 directive #4): the GLIP Swin-L
+    deployment's 8-DyConv tower at CHANNELS=256 / LANG_DIM=768 /
+    BERT-base head split (vldyhead.py:560 + configs/pretrain/
+    glip_Swin_L.yaml MODEL.DYHEAD), on the 5-level pyramid the reference
+    VLFuse hard-codes (vldyhead.py:496) — exercises the real GN group
+    counts, the 2048-wide fused bi-attention at true v/l dims, and the
+    offset-buffer reinterpretation at production widths."""
+    _run_vldyhead_parity(channels=256, num_convs=8, lang_dim=768, T=24,
+                         base_hw=(12, 18), n_levels=5, bert_heads=12,
+                         intermediate=3072, seed=13)
+
+
+@pytest.mark.slow
+def test_bert_base_full_width_parity():
+    """BERT-base (12 layers, hidden 768 — the reference language backbone,
+    bert_model.py:10) at full width, random weights (VERDICT r3 #4)."""
+    import transformers
+
+    from fusionsense_tpu.detection.bert import BertConfig, BertEncoder
+    from fusionsense_tpu.detection.convert import convert_state_dict
+
+    hf_cfg = transformers.BertConfig(
+        vocab_size=512, hidden_size=768, num_hidden_layers=12,
+        num_attention_heads=12, intermediate_size=3072,
+        max_position_embeddings=128, hidden_dropout_prob=0.0,
+        attention_probs_dropout_prob=0.0)
+    torch.manual_seed(17)
+    net = transformers.BertModel(hf_cfg, add_pooling_layer=False)
+    net = net.eval().double()
+    _randomize(net, 17)
+
+    state = {f"language_backbone.body.model.{k}": v.numpy()
+             for k, v in net.state_dict().items()}
+    params = _f64(convert_state_dict(state, bert_layers=12)
+                  ["language_backbone"])
+
+    cfg = BertConfig(vocab_size=512, hidden=768, layers=12, heads=12,
+                     intermediate=3072, max_positions=128)
+    rng = np.random.default_rng(17)
+    T = 32
+    ids = rng.integers(0, 512, size=(T,))
+    mask = np.ones(T, np.int32)
+    mask[26:] = 0
+    with torch.no_grad():
+        ref = net(input_ids=torch.from_numpy(ids[None]),
+                  attention_mask=torch.from_numpy(mask[None]))
+    with enable_x64():
+        got = BertEncoder(cfg).apply({"params": params}, ids, mask)
+    np.testing.assert_allclose(np.asarray(got)[:26],
+                               ref.last_hidden_state.numpy()[0][:26],
+                               rtol=1e-8, atol=1e-9)

@@ -21,12 +21,11 @@ def _randomize(module, seed=0, std=0.05):
             p.copy_(p.to(torch.float32).to(p.dtype))
 
 
-def test_tiny_round_trip():
+def _round_trip(cfg, seed=0):
     from fusionsense_tpu.priors.metric3d.convert import convert_state_dict
-    from fusionsense_tpu.priors.metric3d.model import Metric3D, tiny_m3d
+    from fusionsense_tpu.priors.metric3d.model import Metric3D
 
-    cfg = tiny_m3d()
-    torch.manual_seed(0)
+    torch.manual_seed(seed)
     net = Metric3DTorch(
         dim=cfg.dim, depth=cfg.depth, heads=cfg.heads, patch=cfg.patch,
         registers=cfg.registers, native=cfg.native_grid,
@@ -36,14 +35,14 @@ def test_tiny_round_trip():
         d_max=cfg.d_max)
     net.eval()
     net = net.double()
-    _randomize(net)
+    _randomize(net, seed)
 
     params = convert_state_dict(
         {k: v for k, v in net.state_dict().items()}, cfg)
     params = jax.tree.map(lambda a: np.asarray(a, np.float64), params)
 
-    rng = np.random.default_rng(0)
-    H = W = cfg.native_grid * cfg.patch     # 56: native grid, no resample
+    rng = np.random.default_rng(seed)
+    H = W = cfg.native_grid * cfg.patch     # native grid, no resample
     img = rng.normal(size=(3, H, W)).astype(np.float32).astype(np.float64)
     with torch.no_grad():
         d_t, n_t, k_t = net(torch.from_numpy(img[None]))
@@ -58,6 +57,29 @@ def test_tiny_round_trip():
         rtol=1e-7, atol=1e-8)
     np.testing.assert_allclose(np.asarray(k_j), k_t.numpy()[0],
                                rtol=1e-8, atol=1e-9)
+
+
+def test_tiny_round_trip():
+    from fusionsense_tpu.priors.metric3d.model import tiny_m3d
+
+    _round_trip(tiny_m3d())
+
+
+@pytest.mark.slow
+def test_full_width_round_trip():
+    """Published-width Metric3D (vit_small deployment: dim 384, depth 12,
+    heads 6, 4 registers, DPT 48/96/192/384, GRU hidden 64, 4 iters,
+    convex upsample x7 — the width the reference wrapper loads,
+    utils/metric3dv2_depth_generation.py:79-81) with random weights on a
+    reduced native grid (8x8 patches keeps f64 CPU time in minutes; the
+    grid size only scales token count, every channel width / group count
+    / head split is the production one). VERDICT r3 directive #4."""
+    import dataclasses
+
+    from fusionsense_tpu.priors.metric3d.model import M3DConfig
+
+    cfg = dataclasses.replace(M3DConfig(), native_grid=8)
+    _round_trip(cfg, seed=5)
 
 
 # the reference wrapper math (metric3dv2_depth_generation.py:121-166)
