@@ -70,6 +70,41 @@ def test_fs_mesh_and_eval_and_render_cli(scene_dir, tmp_path):
     assert (tmp_path / "r" / "normal" / "00000.png").exists()
 
 
+@pytest.mark.slow   # VERDICT r3 #10: CLIs consume ZeRO-sharded checkpoints
+def test_fs_train_device_mesh_then_mesh_eval_cli(scene_dir, tmp_path):
+    """fs-train --device-mesh (ShardedTrainer, ZeRO-1 over data) on the
+    virtual CPU mesh, then fs-mesh and fs-eval restore the sharded-run
+    checkpoint through the shared format."""
+    from fusionsense_tpu.cli.train import main as train_main
+
+    out = tmp_path / "out_mesh"
+    train_main([
+        "--data", str(scene_dir), "--output-dir", str(out),
+        "--experiment-name", "t", "--iterations", "40",
+        "--stop-split-at", "30", "--warmup-length", "20",
+        "--capacity", "1024", "--sh-degree", "1", "--scan-chunk", "20",
+        "--tile-capacity", "64", "--skip-eval",
+        "--device-mesh", "data=2,tile=2",
+    ])
+    ckpt = str(out / "t" / "ckpt_40")
+
+    from fusionsense_tpu.cli.mesh import main as mesh_main
+
+    mesh_main(["tsdf", "--checkpoint", ckpt, "--data", str(scene_dir),
+               "--output-dir", str(tmp_path / "m"), "--resolution", "48",
+               "--tile-capacity", "64"])
+    assert (tmp_path / "m" / "mesh_tsdf.ply").exists()
+
+    from fusionsense_tpu.cli.eval import main as eval_main
+
+    eval_main(["--checkpoint", ckpt, "--data", str(scene_dir),
+               "--split", "train",
+               "--output-path", str(tmp_path / "metrics_sh.json")])
+    with open(tmp_path / "metrics_sh.json") as f:
+        res = json.load(f)
+    assert np.isfinite(res["mean"]["psnr"])
+
+
 def test_cli_parsers():
     """Fast arg-surface coverage for every CLI (no training)."""
     from fusionsense_tpu.cli import train as t
