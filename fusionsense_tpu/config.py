@@ -40,7 +40,11 @@ class ModelConfig:
     sh_degree_interval: int = 1000      # activate one SH band per interval
     rasterize: RasterizeConfig = RasterizeConfig()
     binary_opacities: bool = True       # reference configs/config.py (on)
-    binary_opacity_threshold: float = 0.5
+    # LOGIT-space snap threshold + post-reset skip margin (reference
+    # dn_model.py:94-96 binary_opacities_threshold=0.9, :495 margin=200);
+    # semantics: gaussians/store.py binary_opacity_surgery
+    binary_opacity_threshold: float = 0.9
+    binary_opacity_margin: int = 200
     background: tuple = (0.0, 0.0, 0.0)
     init_opacity: float = 0.1
     capacity: int = 2 ** 18             # padded Gaussian slots

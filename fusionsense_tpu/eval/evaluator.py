@@ -26,7 +26,7 @@ MAX_RENDER_PAIR_BUDGET = 16384
 
 
 def make_render_fn(cfg: RasterizeConfig, camera: Camera,
-                   binary_opacities: bool = False, cam_deltas=None,
+                   cam_deltas=None,
                    max_budget: int = MAX_RENDER_PAIR_BUDGET):
     """View renderer: (gaussians, cam_idx) -> RenderOutputs.
 
@@ -49,8 +49,10 @@ def make_render_fn(cfg: RasterizeConfig, camera: Camera,
     def build(rcfg):
         @jax.jit
         def render(gaussians: GaussianState, cam_idx):
-            means, quats, scales, op, colors = activated(
-                gaussians, binary_opacity_snap=binary_opacities)
+            # binary opacities need no special handling: the trainer's
+            # logit-space surgery (store.binary_opacity_surgery) means the
+            # stored params already carry the binarized values
+            means, quats, scales, op, colors = activated(gaussians)
             cam_i = camera.index(cam_idx)
             if deltas is not None:
                 from fusionsense_tpu.core.transforms import apply_se3_delta
@@ -86,12 +88,10 @@ def evaluate(
     camera: Camera,            # batched over eval views
     data,                      # TrainData for the eval split
     cfg: RasterizeConfig,
-    binary_opacities: bool = False,
     measure_fps: bool = True,
     cam_deltas=None,
 ) -> dict:
-    render = make_render_fn(cfg, camera, binary_opacities,
-                            cam_deltas=cam_deltas)
+    render = make_render_fn(cfg, camera, cam_deltas=cam_deltas)
     V = data.images.shape[0]
 
     from fusionsense_tpu.eval import lpips as _lpips

@@ -77,19 +77,44 @@ def new_state(capacity: int, sh_degree: int = 3) -> GaussianState:
     )
 
 
-def activated(state: GaussianState, *, binary_opacity_snap: bool = False,
-              opacity_threshold: float = 0.5):
+def binary_opacity_surgery(logit_opacities, step, *, threshold: float,
+                           warmup: int, skip: int, margin: int = 200):
+    """The reference's binary opacities, faithfully: per-step PARAM
+    SURGERY in LOGIT space (dn_model.py:492-503 writes
+    ``opacities.data = where(opacities >= 0.9, 1, 0)`` — the raw logits,
+    not the sigmoids, so splats collapse to sigmoid(0)=0.5 /
+    sigmoid(1)=0.731, never to invisible). Active only after `warmup`
+    and skipped at each opacity-reset step and for `margin` steps after
+    (``skip = reset_alpha_every * refine_every``) so resets can take
+    effect and opacities re-learn before being re-binarized.
+
+    Returns the (possibly) snapped logits; apply to the stored params at
+    the top of each training step — the optimizer then updates from the
+    snapped point exactly as the reference's Adam does after `.data`
+    surgery.
+
+    Phase anchoring: the reference's resets land at
+    ``step % skip == refine_every`` inside its margin window; OUR resets
+    fire at ``step == warmup (mod skip)`` (adc.refine), so the margin
+    window is anchored there — same semantics (no snapping at a reset or
+    for `margin` steps after), different zero point.
+    """
+    ph = (step - warmup) % skip
+    do = (step > warmup) & (ph > margin)
+    snapped = jnp.where(logit_opacities >= threshold, 1.0, 0.0)
+    return jnp.where(do, snapped, logit_opacities)
+
+
+def activated(state: GaussianState):
     """Activated (rasterizer-ready) values.
 
     Dead slots get opacity 0 so they never contribute even if binned.
-    `binary_opacity_snap` reproduces the reference's binary-opacity forward
-    (dn_model.py:493-503): opacities snap to {0, 1} through a straight-
-    through estimator outside the opacity-reset margin.
+    Binary opacities need no handling here: the reference implements them
+    as logit-space param surgery (see binary_opacity_surgery), so by
+    render time the stored logits already carry the binarized values and
+    the forward is a plain sigmoid — in training, eval, and export alike.
     """
     op = jax.nn.sigmoid(state.logit_opacities)
-    if binary_opacity_snap:
-        snapped = (op > opacity_threshold).astype(op.dtype)
-        op = op + jax.lax.stop_gradient(snapped - op)
     op = jnp.where(state.alive, op, 0.0)
     scales = jnp.exp(state.log_scales)
     # frozen (touch-anchored) Gaussians contribute with detached geometry

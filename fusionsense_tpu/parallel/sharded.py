@@ -94,9 +94,7 @@ def _render_local_tiles(gaussians: GaussianState, camera: Camera, cam_idx,
     front, so projection/binning/compositing only touch the prefix)."""
     mc = cfg.model
     rcfg = mc.rasterize
-    means, quats, scales, op, colors = activated(
-        gaussians, binary_opacity_snap=mc.binary_opacities,
-        opacity_threshold=mc.binary_opacity_threshold)
+    means, quats, scales, op, colors = activated(gaussians)
     colors = colors * sh_band_mask(mc.sh_degree, step,
                                    mc.sh_degree_interval)[None, :, None]
     if render_n is not None and render_n < gaussians.capacity:
@@ -345,6 +343,23 @@ def _build_sharded_step(cfg: ExperimentConfig, camera: Camera,
     def step_fn(gaussians, opt, cam_state, stats, step, cam_indices):
         cam_idx = cam_indices[0]   # local shard has exactly one camera
         cam_deltas, cam_opt = cam_state
+
+        if cfg.model.binary_opacities:
+            # logit-space surgery, identical to the single-device chunk
+            # (reference dn_model.py:492-503); deterministic on replicated
+            # logits, so every shard computes the same snapped values
+            from fusionsense_tpu.gaussians.store import (
+                binary_opacity_surgery,
+            )
+
+            adc_c = cfg.train.adc
+            gaussians = gaussians.replace(
+                logit_opacities=binary_opacity_surgery(
+                    gaussians.logit_opacities, step,
+                    threshold=cfg.model.binary_opacity_threshold,
+                    warmup=adc_c.warmup,
+                    skip=adc_c.reset_alpha_every * adc_c.refine_every,
+                    margin=cfg.model.binary_opacity_margin))
 
         def loss_fn(params, tap, deltas, a_tap):
             g = gaussians.replace(**params)

@@ -341,8 +341,7 @@ class ShardedTrainer:
             from fusionsense_tpu.eval.evaluator import make_render_fn
 
             self._debug_render = make_render_fn(
-                self.cfg.model.rasterize, self.camera,
-                self.cfg.model.binary_opacities)
+                self.cfg.model.rasterize, self.camera)
         i = self.step % self.num_views
         out = self._debug_render(self.gaussians, np.int32(i))
         gt = np.asarray(self.data.images[i])

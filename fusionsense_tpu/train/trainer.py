@@ -77,11 +77,7 @@ def compute_losses(
     binning/sort work from the capacity bucket to the live population.
     """
     mc, lc = cfg.model, cfg.loss
-    means, quats, scales, op, colors = activated(
-        gaussians,
-        binary_opacity_snap=mc.binary_opacities,
-        opacity_threshold=mc.binary_opacity_threshold,
-    )
+    means, quats, scales, op, colors = activated(gaussians)
     colors = colors * sh_band_mask(mc.sh_degree, step, mc.sh_degree_interval)[None, :, None]
     alive_r = gaussians.alive
     if render_n is not None and render_n < gaussians.capacity:
@@ -196,10 +192,7 @@ def loss_terms(out, normals_g, gaussians, cam_i, data, cam_idx, step, cfg,
     if lc.sdf_lambda > 0:
         from fusionsense_tpu.train.sdf_loss import sdf_loss
 
-        s_means, s_quats, s_scales, s_op, _ = activated(
-            gaussians,
-            binary_opacity_snap=mc.binary_opacities,
-            opacity_threshold=mc.binary_opacity_threshold)
+        s_means, s_quats, s_scales, s_op, _ = activated(gaussians)
         if render_n is not None and render_n < gaussians.capacity:
             s_means, s_quats, s_scales, s_op = (
                 s_means[:render_n], s_quats[:render_n],
@@ -253,6 +246,22 @@ def make_train_chunk(cfg: ExperimentConfig, camera: Camera, data: TrainData,
     def body(carry, cam_idx):
         gaussians, opt, cam_state, stats, step = carry
         cam_deltas, cam_opt = cam_state
+
+        if cfg.model.binary_opacities:
+            # reference dn_model.py:492-503: logit-space param surgery at
+            # the top of each step (persists through this step's update)
+            from fusionsense_tpu.gaussians.store import (
+                binary_opacity_surgery,
+            )
+
+            adc_c = cfg.train.adc
+            gaussians = gaussians.replace(
+                logit_opacities=binary_opacity_surgery(
+                    gaussians.logit_opacities, step,
+                    threshold=cfg.model.binary_opacity_threshold,
+                    warmup=adc_c.warmup,
+                    skip=adc_c.reset_alpha_every * adc_c.refine_every,
+                    margin=cfg.model.binary_opacity_margin))
 
         # both Pallas backends surface gsplat-style absgrad through the
         # table transpose (dense: pallas_composite2 cols 6-7; flat:
@@ -649,8 +658,7 @@ class Trainer:
             from fusionsense_tpu.eval.evaluator import make_render_fn
 
             self._debug_render = make_render_fn(
-                self.cfg.model.rasterize, self.camera,
-                self.cfg.model.binary_opacities)
+                self.cfg.model.rasterize, self.camera)
         i = self.step % self.num_views
         out = self._debug_render(self.gaussians, np.int32(i))
         gt = np.asarray(self.data.images[i])

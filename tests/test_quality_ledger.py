@@ -39,7 +39,9 @@ from fusionsense_tpu.train.trainer import TrainData, Trainer
 
 
 def _sphere_run(width, height, n_seed, capacity, iters, tile_capacity,
-                backend, tile_size=32, sh_degree=3):
+                backend, tile_size=32, sh_degree=3, adc=None,
+                binary_opacities=False, binary_margin=200,
+                callbacks=None, add_touch_at=1000):
     rcfg = RasterizeConfig(tile_size=tile_size, tile_capacity=tile_capacity,
                            max_tiles_per_gaussian=9, tile_chunk=100,
                            sh_degree=sh_degree, backend=backend)
@@ -88,11 +90,15 @@ def _sphere_run(width, height, n_seed, capacity, iters, tile_capacity,
                             seed_normals=n2)
     cfg = ExperimentConfig(
         model=ModelConfig(sh_degree=sh_degree, rasterize=rcfg,
-                          capacity=capacity, binary_opacities=False),
-        train=TrainConfig(iterations=iters, scan_chunk=50, adc=ADCConfig()),
+                          capacity=capacity,
+                          binary_opacities=binary_opacities,
+                          binary_opacity_margin=binary_margin),
+        train=TrainConfig(iterations=iters, scan_chunk=50,
+                          adc=adc or ADCConfig(),
+                          add_touch_at=add_touch_at),
         loss=LossConfig(),
     )
-    tr = Trainer(cfg, cams, data, init)
+    tr = Trainer(cfg, cams, data, init, extra_callbacks=callbacks)
     tr.run(log=None)
     return tr, cams
 
@@ -134,6 +140,77 @@ def test_sphere_3000_quality_ledger():
     assert psnr > 34.5, f"3000-step PSNR regressed: {psnr} (ledger 35.96)"
     res = _tsdf_chamfer(tr, cams)
     assert res["chamfer_x1e3"] < 3.1, (res, "ledger 2.46")
+
+
+@pytest.mark.slow
+def test_full_schedule_cpu_tier():
+    """The reference's FULL canonical schedule (configs/config.py:3-7 —
+    binary opacities, touch-add, opacity resets, stop-split, then training
+    past it), scaled so CPU can run it: warmup 100 / refine 50 /
+    reset every 4 refines -> resets fire at steps 300 AND 500, stop-split
+    600, touch patches anchored at 150, 900 iterations total. Pins
+    late-schedule stability (VERDICT r3 directive #3): resets verified to
+    actually clamp opacities, training recovers after each, and the final
+    PSNR floor sits above the measured trajectory band."""
+    from fusionsense_tpu.data.synthetic import sphere_touch_patches
+    from fusionsense_tpu.gaussians.store import activated
+    from fusionsense_tpu.gaussians.touch import (
+        add_touch_patches, touch_prune,
+    )
+
+    if jax.default_backend() != "cpu":
+        pytest.skip("CPU-tier floors are CPU-measured")
+
+    patches = sphere_touch_patches(n_patches=2, pts_per_patch=120)
+    state = {"added": False, "boxes": None, "reset_ops": []}
+
+    def touch_cb(tr):
+        if not state["added"] and tr.step >= 150:
+            tr.gaussians, tr.opt, state["boxes"] = add_touch_patches(
+                tr.gaussians, tr.opt, patches, gel_scale=0.01)
+            state["added"] = True
+            return True
+        if state["added"]:
+            tr.gaussians = touch_prune(tr.gaussians, state["boxes"])
+        return False
+
+    def reset_probe(tr):
+        # the chunk boundary right after each opacity reset (adc.py:221-242)
+        if tr.step in (300, 500):
+            _, _, _, o, _ = activated(tr.gaussians)
+            live = np.asarray(tr.gaussians.alive & ~tr.gaussians.frozen)
+            state["reset_ops"].append(
+                float(np.max(np.asarray(o)[live], initial=0.0)))
+        return False
+
+    # skip = 4 * 50 = 200 -> resets at steps 300 and 500 (phase 0 of the
+    # warmup-anchored window); margin 60 scales the reference's 200-step
+    # margin to the scaled schedule (reference margin/skip = 200/3000)
+    adc = ADCConfig(warmup=100, refine_every=50, stop_split_at=600,
+                    reset_alpha_every=4)
+    tr, _ = _sphere_run(width=160, height=120, n_seed=4000, capacity=8192,
+                        iters=900, tile_capacity=512, backend="jax",
+                        tile_size=16, sh_degree=1, adc=adc,
+                        binary_opacities=True, binary_margin=60,
+                        callbacks=[touch_cb, reset_probe], add_touch_at=150)
+
+    # both resets fired and actually clamped live opacities to the reset
+    # ceiling (2 * cull_alpha_thresh = 0.2)
+    assert len(state["reset_ops"]) == 2, state["reset_ops"]
+    for mx in state["reset_ops"]:
+        assert mx <= 0.201, f"opacity reset did not clamp: max={mx}"
+    # touch patches anchored and survived the schedule frozen
+    n_frozen = int(np.sum(np.asarray(tr.gaussians.frozen)
+                          & np.asarray(tr.gaussians.alive)))
+    assert n_frozen == 240, n_frozen
+    # training recovered after the last reset and kept improving past
+    # stop-split; floor pinned under the measured CPU trajectory
+    psnr = {h["step"]: h["psnr"] for h in tr.history}
+    # psnr[600] is the first post-reset log point (the step-500 log is
+    # recorded from the chunk that ran BEFORE the reset fired)
+    assert tr.history[-1]["psnr"] > psnr[600], (
+        "no recovery after the step-500 reset", tr.history[-3:])
+    assert tr.history[-1]["psnr"] > 16.5, tr.history[-1]
 
 
 @pytest.mark.slow

@@ -187,3 +187,34 @@ def test_resize_roundtrip():
     np.testing.assert_allclose(
         np.sort(np.asarray(g3.means[np.asarray(g3.alive)]), axis=0),
         np.sort(np.asarray(s.means[:10]), axis=0), atol=1e-6)
+
+
+def test_binary_opacity_surgery_gating():
+    """Reference binary opacities (dn_model.py:492-503): LOGIT-space snap
+    (>= 0.9 -> 1.0 else 0.0 — opacities collapse to sigmoid 0.5/0.731,
+    never invisible), active only after warmup and skipped for `margin`
+    steps after each opacity reset (window anchored at our reset phase,
+    step == warmup mod skip)."""
+    from fusionsense_tpu.gaussians.store import binary_opacity_surgery
+
+    logits = jnp.asarray([-3.0, 0.5, 0.9, 4.0])
+    kw = dict(threshold=0.9, warmup=500, skip=3000, margin=200)
+
+    # before/at warmup: untouched (a fresh 0.1-opacity init must train)
+    np.testing.assert_allclose(
+        binary_opacity_surgery(logits, jnp.int32(400), **kw), logits)
+    np.testing.assert_allclose(
+        binary_opacity_surgery(logits, jnp.int32(500), **kw), logits)
+    # active mid-phase: logit-space snap
+    np.testing.assert_allclose(
+        binary_opacity_surgery(logits, jnp.int32(800), **kw),
+        [0.0, 0.0, 1.0, 1.0])
+    # at a reset step (3500 = warmup mod skip) and through the margin:
+    # untouched so the reset's clamped opacities can re-learn
+    for s in (3500, 3600, 3700):
+        np.testing.assert_allclose(
+            binary_opacity_surgery(logits, jnp.int32(s), **kw), logits)
+    # margin over: snapping resumes
+    np.testing.assert_allclose(
+        binary_opacity_surgery(logits, jnp.int32(3701), **kw),
+        [0.0, 0.0, 1.0, 1.0])

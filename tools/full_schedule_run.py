@@ -1,0 +1,178 @@
+"""Full-schedule evidence run: the reference's canonical 15k-iteration
+recipe, end to end, on the bench scene (VERDICT r3 directive #3).
+
+Reference recipe being exercised (reference configs/config.py:3-7 +
+scripts/train.py:274-327): 15,000 iterations, stop-split at 10,000,
+touch-patch anchoring at step 1,000, binary opacities, opacity resets
+every reset_alpha_every*refine_every = 3,000 steps (so resets fire at
+3,500 / 6,500 / 9,500 given warmup 500).
+
+Differences from bench.py (which measures throughput at a settled window
+and stops at the 3,000-step quality horizon): this runs the WHOLE
+schedule with binary opacities and synthetic touch patches, and records
+the trajectory (PSNR / Gaussian count / wall-clock at every log point),
+the final TSDF chamfer, and per-touch-site local chamfer.
+
+Output: one JSON document on stdout + docs/full_schedule_r04.json.
+"""
+from __future__ import annotations
+
+import dataclasses
+import json
+import time
+from pathlib import Path
+
+import numpy as np
+
+WIDTH, HEIGHT = 640, 480
+N_VIEWS = 9
+N_SEED = 60_000
+CAPACITY = 1 << 17
+ITERS = 15_000
+
+
+def main():
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/fusionsense_jax_cache")
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.3)
+
+    import jax.numpy as jnp
+
+    from fusionsense_tpu.config import (
+        ExperimentConfig, LossConfig, ModelConfig, TrainConfig,
+    )
+    from fusionsense_tpu.data.synthetic import (
+        ring_cameras, sphere_depth_normals, sphere_points,
+        sphere_touch_patches,
+    )
+    from fusionsense_tpu.gaussians.adc import ADCConfig
+    from fusionsense_tpu.gaussians.init import init_from_points
+    from fusionsense_tpu.gaussians.store import activated
+    from fusionsense_tpu.gaussians.touch import (
+        TouchBoxes, add_touch_patches, touch_prune,
+    )
+    from fusionsense_tpu.render.rasterize import RasterizeConfig, rasterize
+    from fusionsense_tpu.train.trainer import TrainData, Trainer
+
+    rcfg = RasterizeConfig(tile_size=32, tile_capacity=512,
+                           max_tiles_per_gaussian=9, tile_chunk=100,
+                           sh_degree=3, backend="flat")
+    cams = ring_cameras(n_views=N_VIEWS, width=WIDTH, height_px=HEIGHT,
+                        focal=550.0)
+
+    pts, rgb, normals = sphere_points(n=N_SEED, radius=0.5)
+    gt = init_from_points(pts, rgb, capacity=CAPACITY, sh_degree=3,
+                          seed_normals=normals, init_opacity=0.95)
+    m, q, s, o, c = activated(gt)
+
+    def gt_render_fn(budget):
+        gt_rcfg = dataclasses.replace(rcfg, tile_capacity=budget)
+        return jax.jit(
+            lambda vm, fx, fy, cx, cy: (lambda out: (out.rgb, out.overflow))(
+                rasterize(m, q, s, o, c, cams.index(0).replace(
+                    viewmat=vm, fx=fx, fy=fy, cx=cx, cy=cy), gt_rcfg)))
+
+    sdn_j = jax.jit(lambda vm, fx, fy, cx, cy: sphere_depth_normals(
+        cams.index(0).replace(viewmat=vm, fx=fx, fy=fy, cx=cx, cy=cy)))
+    gt_budget, render = 2048, gt_render_fn(2048)
+    imgs, deps, nms = [], [], []
+    for i in range(N_VIEWS):
+        ci = cams.index(i)
+        img, ovf = render(ci.viewmat, ci.fx, ci.fy, ci.cx, ci.cy)
+        while int(ovf) > 0 and gt_budget < 16384:
+            gt_budget *= 2
+            render = gt_render_fn(gt_budget)
+            img, ovf = render(ci.viewmat, ci.fx, ci.fy, ci.cx, ci.cy)
+        assert int(ovf) == 0, f"GT view {i} dropped {int(ovf)} pairs"
+        imgs.append(img)
+        d, n, _ = sdn_j(ci.viewmat, ci.fx, ci.fy, ci.cx, ci.cy)
+        deps.append(d)
+        nms.append(n)
+    data = TrainData(images=jnp.stack(imgs), sensor_depths=jnp.stack(deps),
+                     normals=jnp.stack(nms))
+
+    pts2, rgb2, n2 = sphere_points(n=N_SEED // 2, radius=0.5, seed=1)
+    rng = np.random.RandomState(0)
+    pts2 = jnp.asarray(np.asarray(pts2)
+                       + 0.02 * rng.randn(*pts2.shape).astype(np.float32))
+    init = init_from_points(pts2, jnp.full_like(rgb2, 0.5), capacity=CAPACITY,
+                            sh_degree=3, seed_normals=n2)
+
+    cfg = ExperimentConfig(
+        model=ModelConfig(sh_degree=3, rasterize=rcfg, capacity=CAPACITY,
+                          binary_opacities=True),
+        train=TrainConfig(iterations=ITERS, scan_chunk=50, adc=ADCConfig(),
+                          add_touch_at=1000, log_every=100),
+        loss=LossConfig(),
+    )
+
+    patches = sphere_touch_patches()
+    state = {"added": False, "boxes": None}
+
+    def touch_cb(tr):
+        if not state["added"] and tr.step >= cfg.train.add_touch_at:
+            # gel_scale ~ the synthetic caps' point spacing (400 pts over
+            # an 8-degree cap on the r=0.5 sphere)
+            tr.gaussians, tr.opt, state["boxes"] = add_touch_patches(
+                tr.gaussians, tr.opt, patches, gel_scale=0.006)
+            state["added"] = True
+            return True
+        if state["added"]:
+            tr.gaussians = touch_prune(tr.gaussians, state["boxes"])
+        return False
+
+    tr = Trainer(cfg, cams, data, init, extra_callbacks=[touch_cb])
+    t0 = time.time()
+    tr.run(log=print)
+    wall_s = time.time() - t0
+
+    # TSDF mesh + chamfer vs the analytic sphere, incl. per-touch-site
+    # local chamfer (reference eval_utils/chamfer_evaluation.py:82-114)
+    from fusionsense_tpu.eval.chamfer import chamfer_eval, local_chamfer
+    from fusionsense_tpu.eval.evaluator import make_render_fn
+    from fusionsense_tpu.mesh.tsdf import TSDFConfig, extract_mesh, fuse_depths
+
+    render_e = make_render_fn(
+        dataclasses.replace(rcfg, tile_capacity=tr.tile_capacity), cams)
+    depths = jnp.stack([render_e(tr.gaussians, i).depth
+                        for i in range(N_VIEWS)])
+    tcfg = TSDFConfig(voxel_size=0.008, truncation=0.024,
+                      resolution=(160, 160, 160),
+                      origin=(-0.64, -0.64, -0.64))
+    tsdf, weight = fuse_depths(depths, cams, tcfg)
+    verts, _ = extract_mesh(tsdf, weight, tcfg)
+    th = np.random.RandomState(3).rand(20000) * 2 * np.pi
+    ph = np.arccos(np.random.RandomState(4).rand(20000) * 2 - 1)
+    gt_pts = 0.5 * np.stack([np.sin(ph) * np.cos(th),
+                             np.sin(ph) * np.sin(th), np.cos(ph)], -1)
+    cham = chamfer_eval(np.asarray(verts), gt_pts)
+    sites = np.stack([p.bbox_center for p in patches])
+    loc = local_chamfer(np.asarray(verts), gt_pts, sites, radius=0.08)
+
+    resets = [h["step"] for h in tr.history
+              if (h["step"] - 500) % 3000 == 0 and 500 < h["step"] < 10_000]
+    out = {
+        "schedule": {"iterations": ITERS, "stop_split_at": 10_000,
+                     "add_touch_at": 1000, "binary_opacities": True,
+                     "opacity_reset_steps": [3500, 6500, 9500]},
+        "wall_clock_s": round(wall_s, 1),
+        "iters_per_sec_overall": round(ITERS / wall_s, 2),
+        "final_psnr": tr.history[-1]["psnr"],
+        "chamfer_x1e3": cham["chamfer_x1e3"],
+        "local_chamfer_x1e3": [round(v, 3) for v in loc],
+        "gaussian_trajectory": [
+            {"step": h["step"], "psnr": round(h["psnr"], 2),
+             "n": h["num_gaussians"], "elapsed_s": round(h["elapsed_s"], 1)}
+            for h in tr.history if h["step"] % 500 == 0
+        ],
+        "backend": str(jax.default_backend()),
+    }
+    Path("docs/full_schedule_r04.json").write_text(json.dumps(out, indent=1))
+    print(json.dumps({k: v for k, v in out.items()
+                      if k != "gaussian_trajectory"}))
+
+
+if __name__ == "__main__":
+    main()

@@ -33,6 +33,9 @@ _ap.add_argument("--backend", choices=["flat", "pallas"], default="flat")
 _ap.add_argument("--tile-capacity", type=int, default=None,
                  help="per-tile K (pallas) / mean pair budget (flat); "
                       "default 512 flat, 1024 pallas")
+_ap.add_argument("--blend-bf16", action="store_true",
+                 help="bf16 blend matmuls in the pallas/flat kernels "
+                      "(alpha math stays f32)")
 _args = _ap.parse_args()
 
 WIDTH, HEIGHT = 640, 480
@@ -42,7 +45,8 @@ REPS = 20
 _cap0 = _args.tile_capacity or (512 if _args.backend == "flat" else 1024)
 rcfg = RasterizeConfig(tile_size=32, tile_capacity=_cap0,
                        max_tiles_per_gaussian=9, tile_chunk=100,
-                       sh_degree=3, backend=_args.backend)
+                       sh_degree=3, backend=_args.backend,
+                       blend_bf16=_args.blend_bf16)
 cams = ring_cameras(n_views=9, width=WIDTH, height_px=HEIGHT, focal=550.0)
 pts, rgb, normals = sphere_points(n=30000, radius=0.5)
 g = init_from_points(pts, rgb, capacity=CAP, sh_degree=3,
