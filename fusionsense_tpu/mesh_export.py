@@ -40,8 +40,9 @@ def _render_depths(gaussians, camera: Camera, rcfg, n_views: int):
     depths, normals, alphas = [], [], []
     for i in range(n_views):
         out = render(gaussians, jnp.asarray(i))
-        # expected depth normalized by accumulation; empty pixels -> 0
-        d = np.asarray(out.depth) / np.maximum(np.asarray(out.alpha), 1e-6)
+        # out.depth is already alpha-normalized (ED); gate fusion to
+        # confidently-covered pixels so faint floaters don't vote
+        d = np.asarray(out.depth)
         a = np.asarray(out.alpha)
         depths.append(np.where(a > 0.5, d, 0.0))
         normals.append(np.asarray(out.normal))

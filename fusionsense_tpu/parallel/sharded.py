@@ -276,6 +276,11 @@ def _sharded_losses(gaussians, camera, data: TrainData, cam_idx, step,
     img = tiles_to_image(full[: aux["T"]], grid)
     rgb, depth, normal, alpha = (img[..., :3], img[..., 3],
                                  img[..., 4:7], img[..., 7])
+    # ED normalization AFTER the depth-slice merge: the slice identity
+    # out = sum_g T_{<g} out_g holds for the RAW accumulated channels only
+    from fusionsense_tpu.render.rasterize import expected_depth
+
+    depth = expected_depth(depth, alpha)
     mc = cfg.model
     bg = jnp.asarray(mc.background, jnp.float32)
     rgb = rgb + (1.0 - alpha)[..., None] * bg

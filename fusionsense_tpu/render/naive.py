@@ -13,7 +13,9 @@ from fusionsense_tpu.core.sh import eval_sh
 from fusionsense_tpu.core.transforms import normalize
 from fusionsense_tpu.render.composite import ALPHA_MAX, ALPHA_MIN
 from fusionsense_tpu.render.project import project_gaussians
-from fusionsense_tpu.render.rasterize import RasterizeConfig, gaussian_flat_normals
+from fusionsense_tpu.render.rasterize import (
+    RasterizeConfig, expected_depth, gaussian_flat_normals,
+)
 
 
 def rasterize_naive(
@@ -64,4 +66,5 @@ def rasterize_naive(
     rgb = img[..., :3]
     if background is not None:
         rgb = rgb + (1.0 - alpha_map)[..., None] * background
-    return dict(rgb=rgb, depth=img[..., 3], normal=img[..., 4:7], alpha=alpha_map)
+    return dict(rgb=rgb, depth=expected_depth(img[..., 3], alpha_map),
+                normal=img[..., 4:7], alpha=alpha_map)

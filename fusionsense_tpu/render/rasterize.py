@@ -86,9 +86,22 @@ class RasterizeConfig:
     blend_bf16: bool = False
 
 
+def expected_depth(depth_acc: jax.Array, alpha: jax.Array) -> jax.Array:
+    """gsplat "ED" semantics (reference dn_model.py:560 render_mode=
+    "RGB+ED" + gsplat's expected-depth normalization): the accumulated
+    depth divided by the accumulation — depth conditioned on the ray
+    hitting the surface. Unnormalized depth is biased toward the camera
+    by exactly (1 - alpha), which poisons TSDF fusion and depth losses
+    whenever alpha doesn't saturate (binary opacities cap per-splat
+    alpha at sigmoid(1) = 0.731). Empty pixels report 0 — the reference
+    substitutes max depth there (dn_model.py:610-613) purely for its
+    loss masking; consumers here mask by alpha / sensor validity."""
+    return jnp.where(alpha > 0, depth_acc / jnp.maximum(alpha, 1e-10), 0.0)
+
+
 class RenderOutputs(NamedTuple):
     rgb: jax.Array        # (H, W, 3)
-    depth: jax.Array      # (H, W) expected depth (alpha-weighted sum)
+    depth: jax.Array      # (H, W) expected depth (alpha-normalized)
     normal: jax.Array     # (H, W, 3) composited world-space normal
     alpha: jax.Array      # (H, W) accumulation
     mean2d: jax.Array     # (N, 2) screen positions (aux, non-diff path)
@@ -215,7 +228,7 @@ def rasterize(
         img = tiles_to_image(out_tiled, grid)
         alpha = tiles_to_image(alpha_tiled, grid)
         rgb = img[..., 0:3]
-        depth = img[..., 3]
+        depth = expected_depth(img[..., 3], alpha)
         normal = img[..., 4:7]
         if background is not None:
             rgb = rgb + (1.0 - alpha)[..., None] * background
@@ -283,7 +296,7 @@ def rasterize(
     alpha = tiles_to_image(alpha_tiled, grid)                 # (H, W)
 
     rgb = img[..., 0:3]
-    depth = img[..., 3]
+    depth = expected_depth(img[..., 3], alpha)
     normal = img[..., 4:7]
     if background is not None:
         rgb = rgb + (1.0 - alpha)[..., None] * background

@@ -48,8 +48,8 @@ def test_single_gaussian_center_color():
     a = float(out.alpha[cy, cx])
     assert 0.85 < a < 0.91
     np.testing.assert_allclose(out.rgb[cy, cx], a * colors[0], atol=1e-4)
-    # depth at center ~ alpha * z
-    np.testing.assert_allclose(out.depth[cy, cx], a * 2.0, atol=1e-3)
+    # ED depth at center = z (alpha-normalized, gsplat "RGB+ED" semantics)
+    np.testing.assert_allclose(out.depth[cy, cx], 2.0, atol=1e-3)
     # corner pixel far from gaussian: empty
     assert out.alpha[0, 0] < 1e-3
 

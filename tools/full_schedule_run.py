@@ -136,8 +136,11 @@ def main():
 
     render_e = make_render_fn(
         dataclasses.replace(rcfg, tile_capacity=tr.tile_capacity), cams)
-    depths = jnp.stack([render_e(tr.gaussians, i).depth
-                        for i in range(N_VIEWS)])
+    outs = [render_e(tr.gaussians, i) for i in range(N_VIEWS)]
+    # ED depth, gated to confidently-covered pixels (mesh_export.py does
+    # the same) so faint floaters don't vote in the fusion
+    depths = jnp.stack([jnp.where(o.alpha > 0.5, o.depth, 0.0)
+                        for o in outs])
     tcfg = TSDFConfig(voxel_size=0.008, truncation=0.024,
                       resolution=(160, 160, 160),
                       origin=(-0.64, -0.64, -0.64))
