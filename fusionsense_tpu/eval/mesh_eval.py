@@ -53,6 +53,46 @@ def visible_mask(points: np.ndarray, cameras: Camera) -> np.ndarray:
     return vis
 
 
+def depth_cull_mask(
+    points: np.ndarray,
+    cameras: Camera,
+    depths: np.ndarray,          # (V, H, W) observed z-depth, 0 = missing
+    eps: float = 0.02,
+    min_views: int = 1,
+) -> np.ndarray:
+    """Observability cull against depth maps — the go-surf criterion the
+    reference's mesh eval uses (reference
+    dn_splatter/eval/eval_mesh_vis_cull.py:96-140 cull_from_one_pose +
+    :270-295 face filter): a point counts as OBSERVED in a view when it is
+    inside the frustum and not occluded (its camera-space z is within eps
+    in front of the view's depth at its pixel), and as INVALID when the
+    view has no depth there. Keep points observed in >= min_views views
+    and not invalid in >70% of their observations (the reference uses
+    min_views=3 over hundreds of frames; sparse captures want 1-2).
+
+    Culling BOTH prediction and GT with the capture's own sensor depths
+    restricts chamfer to the reconstructible region — unseen back sides
+    stop dominating the completeness term."""
+    pts = np.asarray(points, np.float64)
+    vm = np.asarray(cameras.viewmat)
+    W, H = cameras.width, cameras.height
+    obs = np.zeros(len(pts), np.int32)
+    inv = np.zeros(len(pts), np.int32)
+    for i in range(vm.shape[0]):
+        p = pts @ vm[i, :3, :3].T + vm[i, :3, 3]
+        z = p[:, 2]
+        with np.errstate(divide="ignore", invalid="ignore"):
+            u = p[:, 0] / z * float(cameras.fx[i]) + float(cameras.cx[i])
+            v = p[:, 1] / z * float(cameras.fy[i]) + float(cameras.cy[i])
+        in_f = (z > 1e-4) & (u >= 0) & (u < W) & (v >= 0) & (v < H)
+        ui = np.clip(np.nan_to_num(u), 0, W - 1).astype(np.int32)
+        vi = np.clip(np.nan_to_num(v), 0, H - 1).astype(np.int32)
+        d = np.asarray(depths[i])[vi, ui]
+        obs += (in_f & (z < d + eps)).astype(np.int32)
+        inv += (in_f & (d <= 0.0)).astype(np.int32)
+    return (obs >= min_views) & ~(inv > 0.7 * np.maximum(obs, 1))
+
+
 def mesh_eval(
     pred_verts: np.ndarray, pred_faces: np.ndarray,
     gt_points: np.ndarray,

@@ -40,6 +40,44 @@ def test_visible_mask():
     assert bool(vis[0]) and not bool(vis[1])
 
 
+def test_depth_cull_mask_occluded_and_floater():
+    """go-surf observability cull (reference eval_mesh_vis_cull.py:96-140):
+    surface points seen by a camera survive, back-side points occluded in
+    EVERY view are culled, and in-frustum points in free space in front of
+    the surface (floaters) count as observed — same as the reference."""
+    from fusionsense_tpu.eval.mesh_eval import depth_cull_mask
+
+    cams = ring_cameras(n_views=6, width=64, height_px=48, focal=60.0)
+    depths = np.stack([
+        np.asarray(sphere_depth_normals(cams.index(i), radius=0.4)[0])
+        for i in range(6)])
+
+    cam0_dir = np.array([2.0, 0.0, 0.8])
+    cam0_dir /= np.linalg.norm(cam0_dir)
+    pts = np.array([
+        [0.4, 0.0, 0.0],     # on-sphere, equator: front-facing to a cam
+        [0.0, 0.0, -0.41],   # bottom pole: behind the surface in all views
+        0.42 * cam0_dir,     # hugging floater in front of the surface,
+        #                      projecting onto the disc in every view:
+        #                      observed (the reference keeps these too)
+        [0.46, 0.0, 0.0],    # floater whose side-view projections fall on
+        #                      depthless background: invalidated (>70% of
+        #                      its observations lack depth)
+        [100.0, 0.0, 0.0],   # outside every frustum
+    ])
+    keep = depth_cull_mask(pts, cams, depths, min_views=1)
+    assert bool(keep[0]), "observed surface point must survive"
+    assert not bool(keep[1]), "always-occluded back side must be culled"
+    assert bool(keep[2]), "near-surface front floater counts as observed"
+    assert not bool(keep[3]), "mostly-depthless projections invalidate"
+    assert not bool(keep[4]), "out-of-frustum point has zero observations"
+
+    # missing-depth invalidation: zero out the depth maps -> the surface
+    # point's observations all land on depthless pixels -> invalid
+    keep_nodepth = depth_cull_mask(pts[:1], cams, np.zeros_like(depths))
+    assert not bool(keep_nodepth[0])
+
+
 def test_faro_depth_eval_exact():
     cams = ring_cameras(n_views=3, width=64, height_px=48, focal=60.0)
     import jax.numpy as jnp

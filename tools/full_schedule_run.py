@@ -17,6 +17,7 @@ Output: one JSON document on stdout + docs/full_schedule_r04.json.
 """
 from __future__ import annotations
 
+import argparse
 import dataclasses
 import json
 import time
@@ -31,7 +32,8 @@ CAPACITY = 1 << 17
 ITERS = 15_000
 
 
-def main():
+def main(iters: int = ITERS, out_path: str = "docs/full_schedule_r04.json",
+         debug_npz: str | None = None):
     import jax
 
     jax.config.update("jax_compilation_cache_dir", "/tmp/fusionsense_jax_cache")
@@ -103,7 +105,7 @@ def main():
     cfg = ExperimentConfig(
         model=ModelConfig(sh_degree=3, rasterize=rcfg, capacity=CAPACITY,
                           binary_opacities=True),
-        train=TrainConfig(iterations=ITERS, scan_chunk=50, adc=ADCConfig(),
+        train=TrainConfig(iterations=iters, scan_chunk=50, adc=ADCConfig(),
                           add_touch_at=1000, log_every=100),
         loss=LossConfig(),
     )
@@ -141,9 +143,14 @@ def main():
     # the same) so faint floaters don't vote in the fusion
     depths = jnp.stack([jnp.where(o.alpha > 0.5, o.depth, 0.0)
                         for o in outs])
+    # min_weight=2 like the production mesh path (mesh_export._auto_tsdf_cfg):
+    # a 9-view ring observes equator/lower-band surface voxels from only
+    # 2-4 in-truncation views, so the reference's min_weight=5 (an indoor
+    # many-frame setting, export_mesh.py:786-925) discards everything but
+    # the top cap on sparse captures
     tcfg = TSDFConfig(voxel_size=0.008, truncation=0.024,
                       resolution=(160, 160, 160),
-                      origin=(-0.64, -0.64, -0.64))
+                      origin=(-0.64, -0.64, -0.64), min_weight=2.0)
     tsdf, weight = fuse_depths(depths, cams, tcfg)
     verts, _ = extract_mesh(tsdf, weight, tcfg)
     th = np.random.RandomState(3).rand(20000) * 2 * np.pi
@@ -151,20 +158,41 @@ def main():
     gt_pts = 0.5 * np.stack([np.sin(ph) * np.cos(th),
                              np.sin(ph) * np.sin(th), np.cos(ph)], -1)
     cham = chamfer_eval(np.asarray(verts), gt_pts)
+    # reference protocol chamfer: cull BOTH clouds to the region the
+    # capture actually observes (eval_mesh_vis_cull.py) — the ring never
+    # sees the bottom cap (z < -0.4), which otherwise dominates the
+    # completeness term of the raw number
+    from fusionsense_tpu.eval.mesh_eval import depth_cull_mask
+
+    sensor_np = np.asarray(data.sensor_depths)
+    keep_p = depth_cull_mask(np.asarray(verts), cams, sensor_np)
+    keep_g = depth_cull_mask(gt_pts, cams, sensor_np)
+    cham_seen = chamfer_eval(np.asarray(verts)[keep_p], gt_pts[keep_g])
     sites = np.stack([p.bbox_center for p in patches])
     loc = local_chamfer(np.asarray(verts), gt_pts, sites, radius=0.08)
 
-    resets = [h["step"] for h in tr.history
-              if (h["step"] - 500) % 3000 == 0 and 500 < h["step"] < 10_000]
+    if debug_npz:
+        np.savez(debug_npz, verts=np.asarray(verts),
+                 depths=np.asarray(depths),
+                 alphas=np.stack([np.asarray(o.alpha) for o in outs]),
+                 means=np.asarray(tr.gaussians.means),
+                 alive=np.asarray(tr.gaussians.alive),
+                 logit_opacities=np.asarray(tr.gaussians.logit_opacities))
+
+    def _j(v):  # NaN -> null: keep the artifact strict JSON
+        return None if isinstance(v, float) and not np.isfinite(v) else v
+
     out = {
-        "schedule": {"iterations": ITERS, "stop_split_at": 10_000,
+        "schedule": {"iterations": iters, "stop_split_at": 10_000,
                      "add_touch_at": 1000, "binary_opacities": True,
                      "opacity_reset_steps": [3500, 6500, 9500]},
         "wall_clock_s": round(wall_s, 1),
-        "iters_per_sec_overall": round(ITERS / wall_s, 2),
+        "iters_per_sec_overall": round(iters / wall_s, 2),
         "final_psnr": tr.history[-1]["psnr"],
         "chamfer_x1e3": cham["chamfer_x1e3"],
-        "local_chamfer_x1e3": [round(v, 3) for v in loc],
+        "chamfer_seen_x1e3": cham_seen["chamfer_x1e3"],
+        "gt_seen_frac": round(float(keep_g.mean()), 3),
+        "local_chamfer_x1e3": [_j(round(v, 3)) for v in loc],
         "gaussian_trajectory": [
             {"step": h["step"], "psnr": round(h["psnr"], 2),
              "n": h["num_gaussians"], "elapsed_s": round(h["elapsed_s"], 1)}
@@ -172,10 +200,15 @@ def main():
         ],
         "backend": str(jax.default_backend()),
     }
-    Path("docs/full_schedule_r04.json").write_text(json.dumps(out, indent=1))
+    Path(out_path).write_text(json.dumps(out, indent=1, allow_nan=False))
     print(json.dumps({k: v for k, v in out.items()
-                      if k != "gaussian_trajectory"}))
+                      if k != "gaussian_trajectory"}, allow_nan=False))
 
 
 if __name__ == "__main__":
-    main()
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--iters", type=int, default=ITERS)
+    ap.add_argument("--out", default="docs/full_schedule_r04.json")
+    ap.add_argument("--debug-npz", default=None)
+    a = ap.parse_args()
+    main(iters=a.iters, out_path=a.out, debug_npz=a.debug_npz)
