@@ -6,8 +6,9 @@ weak #2 / directive #4). Two tiers:
 
 - TPU tier (the ledger itself): the exact bench workload (640x480, 9
   views, full DN loss stack, auto-K/window policies) to 3000 steps, with
-  floors set ~1.5 dB under the measured 35.96 PSNR / 25% over the
-  measured 2.46 chamfer — tight enough that a multi-dB or 2x-geometry
+  floors set ~1 dB under the measured 35.58 PSNR / ~15% over the
+  measured 2.68 chamfer (both re-measured on silicon 2026-08-19 after ED
+  depth normalization) — tight enough that a multi-dB or 2x-geometry
   regression fails.
 - CPU tier: the same workload scaled to 160x120 / 3k Gaussians and 600
   steps so the slow suite can run it without a chip; floors pinned to
@@ -112,9 +113,15 @@ def _tsdf_chamfer(tr, cams):
 
     render = make_render_fn(tr.cfg.model.rasterize, cams)
     depths = jnp.stack([render(tr.gaussians, i).depth for i in range(9)])
+    # min_weight=2 mirrors the production mesh path (mesh_export
+    # _auto_tsdf_cfg): with ED-normalized depth there is no faint-skirt
+    # leakage beyond the silhouette, and a 9-view ring observes
+    # equator/lower-band voxels from only 2-4 in-truncation views — the
+    # reference's indoor min_weight=5 leaves only the top cap (chamfer
+    # ~105 instead of the measured 2.68)
     tcfg = TSDFConfig(voxel_size=0.008, truncation=0.024,
                       resolution=(160, 160, 160),
-                      origin=(-0.64, -0.64, -0.64))
+                      origin=(-0.64, -0.64, -0.64), min_weight=2.0)
     tsdf, weight = fuse_depths(depths, cams, tcfg)
     verts, _faces = extract_mesh(tsdf, weight, tcfg)
     theta = np.random.RandomState(3).rand(20000) * 2 * np.pi
@@ -137,9 +144,9 @@ def test_sphere_3000_quality_ledger():
                            capacity=1 << 17, iters=3000,
                            tile_capacity=512, backend="flat")
     psnr = tr.history[-1]["psnr"]
-    assert psnr > 34.5, f"3000-step PSNR regressed: {psnr} (ledger 35.96)"
+    assert psnr > 34.5, f"3000-step PSNR regressed: {psnr} (ledger 35.58)"
     res = _tsdf_chamfer(tr, cams)
-    assert res["chamfer_x1e3"] < 3.1, (res, "ledger 2.46")
+    assert res["chamfer_x1e3"] < 3.1, (res, "ledger 2.68")
 
 
 @pytest.mark.slow
