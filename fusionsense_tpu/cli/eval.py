@@ -35,9 +35,9 @@ def main(argv=None):
     )
     from fusionsense_tpu.eval.evaluator import evaluate
     from fusionsense_tpu.render.rasterize import RasterizeConfig
-    from fusionsense_tpu.train.checkpoint import load_checkpoint_full
+    from fusionsense_tpu.train.checkpoint import load_for_inference
 
-    gaussians, _, _, step, cam_state, _ = load_checkpoint_full(args.checkpoint)
+    gaussians, step, cam_state = load_for_inference(args.checkpoint)
     dcfg = DataParserConfig(data_dir=args.data)
     scene = parse_transforms(dcfg)
     camera, data = load_train_data(scene, dcfg, args.split)

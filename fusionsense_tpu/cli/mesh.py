@@ -47,10 +47,9 @@ def main(argv=None):
     )
     from fusionsense_tpu.mesh_export import extract
     from fusionsense_tpu.render.rasterize import RasterizeConfig
-    from fusionsense_tpu.train.checkpoint import load_checkpoint_full
+    from fusionsense_tpu.train.checkpoint import load_for_inference
 
-    gaussians, _, _, step, cam_state, _ = load_checkpoint_full(
-        args.checkpoint)
+    gaussians, step, cam_state = load_for_inference(args.checkpoint)
     dcfg = DataParserConfig(data_dir=args.data)
     scene = parse_transforms(dcfg)
     camera, _ = load_train_data(scene, dcfg, "train")

@@ -30,9 +30,9 @@ def main(argv=None):
 
         state = import_splat_ply(args.ply)
     elif args.checkpoint:
-        from fusionsense_tpu.train.checkpoint import load_checkpoint
+        from fusionsense_tpu.train.checkpoint import load_for_inference
 
-        state, *_ = load_checkpoint(args.checkpoint)
+        state, *_ = load_for_inference(args.checkpoint)
     else:
         ap.error("need --ply or --checkpoint")
 

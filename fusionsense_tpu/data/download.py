@@ -107,12 +107,32 @@ def _stream_download(url: str, dest: Path, log=print) -> None:
     tmp.replace(dest)
 
 
+def _safe_tar_extract(tf: "tarfile.TarFile", out_dir: Path) -> None:
+    """extractall with path-traversal protection on every interpreter we
+    declare support for: the `filter="data"` kwarg only exists from
+    3.10.12/3.11.4 (pyproject requires >=3.10), so older patch releases
+    fall back to a manual member-path check."""
+    try:
+        tf.extractall(out_dir, filter="data")
+    except TypeError:  # filter kwarg not available on this interpreter
+        base = out_dir.resolve()
+        for m in tf.getmembers():
+            target = (out_dir / m.name).resolve()
+            if base != target and base not in target.parents:
+                raise RuntimeError(
+                    f"archive member escapes extraction dir: {m.name!r}")
+            if m.issym() or m.islnk():
+                raise RuntimeError(
+                    f"refusing link member without filter support: {m.name!r}")
+        tf.extractall(out_dir)
+
+
 def _extract(archive: Path, out_dir: Path, log=print) -> None:
     out_dir.mkdir(parents=True, exist_ok=True)
     log(f"  extracting {archive.name} -> {out_dir}")
     if archive.name.endswith((".tar.gz", ".tgz", ".tar")):
         with tarfile.open(archive) as tf:
-            tf.extractall(out_dir, filter="data")
+            _safe_tar_extract(tf, out_dir)
     elif archive.suffix == ".zip":
         with zipfile.ZipFile(archive) as zf:
             zf.extractall(out_dir)
@@ -137,6 +157,15 @@ def fetch(dataset: str, save_dir: Path, *, keep_archives: bool = False,
     for art in artifacts:
         name = art.url.rsplit("/", 1)[-1]
         dest = save_dir / name
+        # idempotent re-runs: an already-extracted target means the archive
+        # was fetched and (by default) deleted — don't re-download multi-GB
+        # artifacts just because keep_archives=False removed them
+        if art.extract_to is not None:
+            out = save_dir / art.extract_to
+            if not dest.exists() and out.is_dir() and any(out.iterdir()):
+                log(f"skipping {name}: {out} already extracted")
+                produced.append(out)
+                continue
         if not dest.exists():
             log(f"fetching {art.url}"
                 + (f" (~{art.approx_size})" if art.approx_size else ""))

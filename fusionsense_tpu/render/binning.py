@@ -207,6 +207,7 @@ def flat_bin_gaussians(
     block: int = 128,
     tile_lo=0,
     num_tiles_local: int | None = None,
+    compute_landing: bool = True,
 ) -> FlatBins:
     """Depth-sorted pairs laid out as block-aligned per-tile segments.
 
@@ -216,6 +217,11 @@ def flat_bin_gaussians(
     here (each shard builds its own layout; the landing map stays local and
     the parameter-gradient psum over the tile axis reassembles the full
     transpose). tile_lo may be a traced scalar (mesh axis_index).
+
+    compute_landing=False skips the pair->flat-slot landing map — a second
+    full N*C sort plus three N*C scans — for callers whose gradient
+    transpose runs as a segment-sum over gauss_ids instead
+    (rasterize._flat_select_scatter); landing comes back None.
     """
     N = mean2d.shape[0]
     tiles_x = -(-width // tile_size)
@@ -317,23 +323,25 @@ def flat_bin_gaussians(
     # (same cummax trick as the dense path; the aligned segment start is
     # propagated from segment heads, where it equals the exclusive cumsum of
     # block-aligned segment lengths — identical to astarts by construction)
-    i = jax.lax.iota(jnp.int32, N * C)
-    is_start = jnp.concatenate([
-        jnp.ones((1,), jnp.bool_), sorted_tile[1:] != sorted_tile[:-1]])
-    seg_head = jax.lax.cummax(jnp.where(is_start, i, 0))
-    # next segment head strictly after i (reverse cummin of head indices)
-    head_or_inf = jnp.where(is_start, i, N * C)
-    nh_incl = jnp.flip(jax.lax.cummin(jnp.flip(head_or_inf)))
-    nh = jnp.concatenate([nh_incl[1:], jnp.full((1,), N * C, jnp.int32)])
-    seg_alen = jnp.where(is_start, ((nh - i + B - 1) // B) * B, 0)
-    astart_head = jnp.cumsum(seg_alen) - seg_alen          # exclusive
-    astart_elem = jax.lax.cummax(
-        jnp.where(is_start, astart_head, 0)).astype(jnp.int32)
-    flat_pos = astart_elem + (i - seg_head)
-    ok = (sorted_tile < num_tiles) & (flat_pos < PB)
-    landing_sorted = jnp.where(ok, flat_pos, -1)
-    _, landing_flat = jax.lax.sort_key_val(sorted_pair, landing_sorted)
-    landing = landing_flat.reshape(N, C)
+    landing = None
+    if compute_landing:
+        i = jax.lax.iota(jnp.int32, N * C)
+        is_start = jnp.concatenate([
+            jnp.ones((1,), jnp.bool_), sorted_tile[1:] != sorted_tile[:-1]])
+        seg_head = jax.lax.cummax(jnp.where(is_start, i, 0))
+        # next segment head strictly after i (reverse cummin of head indices)
+        head_or_inf = jnp.where(is_start, i, N * C)
+        nh_incl = jnp.flip(jax.lax.cummin(jnp.flip(head_or_inf)))
+        nh = jnp.concatenate([nh_incl[1:], jnp.full((1,), N * C, jnp.int32)])
+        seg_alen = jnp.where(is_start, ((nh - i + B - 1) // B) * B, 0)
+        astart_head = jnp.cumsum(seg_alen) - seg_alen          # exclusive
+        astart_elem = jax.lax.cummax(
+            jnp.where(is_start, astart_head, 0)).astype(jnp.int32)
+        flat_pos = astart_elem + (i - seg_head)
+        ok = (sorted_tile < num_tiles) & (flat_pos < PB)
+        landing_sorted = jnp.where(ok, flat_pos, -1)
+        _, landing_flat = jax.lax.sort_key_val(sorted_pair, landing_sorted)
+        landing = landing_flat.reshape(N, C)
 
     return FlatBins(gauss_ids=gauss_ids, valid=valid_flat,
                     blk_tile=blk_tile, blk_first=blk_first,

@@ -61,6 +61,36 @@ def _tile_select_bwd(res, g):
 _tile_select.defvjp(_tile_select_fwd, _tile_select_bwd)
 
 
+@jax.custom_vjp
+def _flat_select_scatter(table_n, aux):
+    """(N, W) table -> (PB, W) flat pair rows; masked slots 0.
+
+    Backward: ONE unsorted segment-sum (scatter-add) of the (PB, W) grad
+    rows into (N, W) keyed by gauss_ids — PB rows instead of the landing
+    path's N*C gather rows, and it frees flat_bin_gaussians from computing
+    the landing map at all (a second full N*C sort + three N*C scans;
+    measured 3.94 -> ~2.3 ms binning at bench scale, DESIGN.md §6 r5)."""
+    gauss_ids, valid = aux
+    return jnp.where(valid[..., None], table_n[gauss_ids], 0.0)
+
+
+def _flat_select_scatter_fwd(table_n, aux):
+    gauss_ids, valid = aux
+    out = jnp.where(valid[..., None], table_n[gauss_ids], 0.0)
+    return out, (gauss_ids, valid, table_n.shape[0])
+
+
+def _flat_select_scatter_bwd(res, g):
+    gauss_ids, valid, n = res
+    g = jnp.where(valid[..., None], g, 0.0)
+    ids = jnp.where(valid, gauss_ids, n)      # dead rows -> dropped segment
+    return jax.ops.segment_sum(g, ids, num_segments=n + 1)[:n], None
+
+
+_flat_select_scatter.defvjp(_flat_select_scatter_fwd,
+                            _flat_select_scatter_bwd)
+
+
 @dataclasses.dataclass(frozen=True)
 class RasterizeConfig:
     """Static rasterizer knobs (hashable -> usable as jit static arg)."""
@@ -84,6 +114,16 @@ class RasterizeConfig:
     pallas_chunk: int = 128
     # bf16 blend matmuls in the pallas kernel (alpha math stays f32)
     blend_bf16: bool = False
+    # flat backend gradient transpose: "landing" = gather-from-gaussian-
+    # side via the pair->slot landing map (round 3); "scatter" = one
+    # segment-sum over the PB flat rows keyed by gauss_ids, skipping the
+    # landing machinery (a second N*C sort + three N*C scans) entirely.
+    # Measured on-chip at bench-profile scale (r5): landing 9.77 ms/step
+    # vs scatter 10.90 — the TPU scatter-add costs more than the landing
+    # sort it saves (segment_sum 3.3 ms vs sort+scans ~0.3 + gather 2.0),
+    # so landing stays the default; scatter is kept for shapes where the
+    # pair budget is far below N*C.
+    flat_grad_transpose: str = "landing"
 
 
 def expected_depth(depth_acc: jax.Array, alpha: jax.Array) -> jax.Array:
@@ -95,8 +135,15 @@ def expected_depth(depth_acc: jax.Array, alpha: jax.Array) -> jax.Array:
     whenever alpha doesn't saturate (binary opacities cap per-splat
     alpha at sigmoid(1) = 0.731). Empty pixels report 0 — the reference
     substitutes max depth there (dn_model.py:610-613) purely for its
-    loss masking; consumers here mask by alpha / sensor validity."""
-    return jnp.where(alpha > 0, depth_acc / jnp.maximum(alpha, 1e-10), 0.0)
+    loss masking; consumers here mask by alpha / sensor validity.
+
+    The denominator floor is 1e-3 (not epsilon): the depth-loss gradient
+    through the quotient scales like depth_acc/alpha^2, and at a pixel
+    with valid sensor depth but near-zero accumulation an epsilon floor
+    produces a huge-but-finite value that sails past the trainers'
+    non-finite step guard (ADVICE r4). Above the floor the value is
+    exactly gsplat's; below it depth decays to 0 smoothly."""
+    return jnp.where(alpha > 0, depth_acc / jnp.maximum(alpha, 1e-3), 0.0)
 
 
 class RenderOutputs(NamedTuple):
@@ -197,6 +244,7 @@ def rasterize(
         # the trainer's auto-capacity policy (overflow-telemetry bump)
         # carries over unchanged from the dense layout
         PB = -(-cfg.tile_capacity * grid.num_tiles // B) * B
+        use_scatter = cfg.flat_grad_transpose == "scatter"
         fb = flat_bin_gaussians(
             jax.lax.stop_gradient(proj.mean2d),
             jax.lax.stop_gradient(proj.radius),
@@ -204,6 +252,7 @@ def rasterize(
             width=camera.width, height=camera.height,
             tile_size=cfg.tile_size, pair_budget=PB,
             max_tiles_per_gaussian=cfg.max_tiles_per_gaussian, block=B,
+            compute_landing=not use_scatter,
         )
         nchan = channels.shape[-1]
         pad_c = (-nchan) % 8
@@ -218,7 +267,10 @@ def rasterize(
             cols.append(jnp.zeros((N, pad_c)))
         table_n = jnp.concatenate(cols, axis=-1)          # (N, 8 + Cpad)
         dead = jnp.zeros((table_n.shape[-1],)).at[5].set(-1e10)
-        sel = _tile_select(table_n, (fb.gauss_ids, fb.valid, fb.landing))
+        if use_scatter:
+            sel = _flat_select_scatter(table_n, (fb.gauss_ids, fb.valid))
+        else:
+            sel = _tile_select(table_n, (fb.gauss_ids, fb.valid, fb.landing))
         tab_flat = sel + jnp.where(fb.valid[..., None], 0.0, dead)
         out_tiled, alpha_tiled = flat_composite(
             tab_flat, fb.blk_tile, fb.blk_first, fb.blk_count,

@@ -93,6 +93,26 @@ def load_checkpoint(path) -> tuple[GaussianState, AdamState, RefineStats, int]:
     return g, opt, stats, step
 
 
+def load_for_inference(path):
+    """Checkpoint -> (gaussians, step, cam_state) ready to render/export.
+
+    Re-applies the binary-opacity snap when the checkpoint was trained
+    with binary opacities (meta sidecar flag): the reference re-applies
+    its logit surgery in get_outputs even at eval (dn_model.py:493-503),
+    so a checkpoint saved inside a reset-margin window — or by older code
+    whose binarization lived in the forward instead of param surgery —
+    still renders binarized. Snapping already-snapped logits ({0, 1}) is
+    the identity, so this is a no-op for ordinary checkpoints."""
+    import jax.numpy as jnp
+
+    g, _, _, step, cam_state, meta = load_checkpoint_full(path)
+    if meta and meta.get("binary_opacities"):
+        thr = float(meta.get("binary_opacity_threshold", 0.9))
+        logits = jnp.asarray(g.logit_opacities)
+        g = g.replace(logit_opacities=jnp.where(logits >= thr, 1.0, 0.0))
+    return g, step, cam_state
+
+
 def save_trainer_state(trainer, path):
     """Shared full-fidelity save used by Trainer.save AND
     ShardedTrainer.save — one format, so a run can move between single-
@@ -102,6 +122,9 @@ def save_trainer_state(trainer, path):
         cam_state=trainer.cam_state,
         extra={"tile_capacity": trainer.tile_capacity,
                "cover_tiles": trainer.cover_tiles,
+               "binary_opacities": trainer.cfg.model.binary_opacities,
+               "binary_opacity_threshold":
+                   trainer.cfg.model.binary_opacity_threshold,
                "history": trainer.history[-5:]})
 
 

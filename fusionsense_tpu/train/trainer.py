@@ -213,6 +213,22 @@ def loss_terms(out, normals_g, gaussians, cam_i, data, cam_idx, step, cfg,
     return total, (parts, aux)
 
 
+def _patched_cfg(cfg: ExperimentConfig,
+                 tile_capacity: Optional[int] = None,
+                 cover_tiles: Optional[int] = None) -> ExperimentConfig:
+    """Apply the trainer's adaptive rasterizer overrides to the config."""
+    import dataclasses as _dc
+
+    rc = cfg.model.rasterize
+    if tile_capacity is not None and tile_capacity != rc.tile_capacity:
+        rc = _dc.replace(rc, tile_capacity=tile_capacity)
+    if cover_tiles is not None and cover_tiles != rc.max_tiles_per_gaussian:
+        rc = _dc.replace(rc, max_tiles_per_gaussian=cover_tiles)
+    if rc is not cfg.model.rasterize:
+        cfg = _dc.replace(cfg, model=_dc.replace(cfg.model, rasterize=rc))
+    return cfg
+
+
 def make_train_chunk(cfg: ExperimentConfig, camera: Camera, data: TrainData,
                      adam_groups=None, render_n: Optional[int] = None,
                      tile_capacity: Optional[int] = None,
@@ -227,15 +243,24 @@ def make_train_chunk(cfg: ExperimentConfig, camera: Camera, data: TrainData,
     the static per-Gaussian tile-cover window (the trainer sizes it from
     truncation telemetry — the sort population scales linearly with it).
     """
-    import dataclasses as _dc
+    cfg = _patched_cfg(cfg, tile_capacity, cover_tiles)
+    body = _make_step_body(cfg, camera, data, adam_groups, render_n)
 
-    rc = cfg.model.rasterize
-    if tile_capacity is not None and tile_capacity != rc.tile_capacity:
-        rc = _dc.replace(rc, tile_capacity=tile_capacity)
-    if cover_tiles is not None and cover_tiles != rc.max_tiles_per_gaussian:
-        rc = _dc.replace(rc, max_tiles_per_gaussian=cover_tiles)
-    if rc is not cfg.model.rasterize:
-        cfg = _dc.replace(cfg, model=_dc.replace(cfg.model, rasterize=rc))
+    @jax.jit
+    def train_chunk(gaussians, opt, cam_state, stats, step0, cam_indices):
+        (gaussians, opt, cam_state, stats, _), metrics = jax.lax.scan(
+            body, (gaussians, opt, cam_state, stats, step0), cam_indices
+        )
+        return gaussians, opt, cam_state, stats, metrics
+
+    return train_chunk
+
+
+def _make_step_body(cfg: ExperimentConfig, camera: Camera, data: TrainData,
+                    adam_groups=None, render_n: Optional[int] = None):
+    """The single-train-step scan body shared by make_train_chunk and
+    make_fused_intervals. `cfg` must already carry the adaptive overrides
+    (_patched_cfg)."""
     adam_groups = adam_groups or DEFAULT_GROUPS
     use_cam_opt = cfg.train.camera_opt
 
@@ -338,14 +363,76 @@ def make_train_chunk(cfg: ExperimentConfig, camera: Camera, data: TrainData,
         return (gaussians2, opt2, (cam_deltas, cam_opt),
                 stats2, step + 1), metrics
 
-    @jax.jit
-    def train_chunk(gaussians, opt, cam_state, stats, step0, cam_indices):
-        (gaussians, opt, cam_state, stats, _), metrics = jax.lax.scan(
-            body, (gaussians, opt, cam_state, stats, step0), cam_indices
-        )
-        return gaussians, opt, cam_state, stats, metrics
+    return body
 
-    return train_chunk
+
+def make_fused_intervals(cfg: ExperimentConfig, camera: Camera,
+                         data: TrainData, adam_groups=None,
+                         render_n: Optional[int] = None,
+                         tile_capacity: Optional[int] = None,
+                         cover_tiles: Optional[int] = None,
+                         interval: Optional[int] = None,
+                         n_intervals: int = 5,
+                         scene_scale: float = 1.0):
+    """Build a ONE-dispatch program running `n_intervals` refine intervals.
+
+    Each interval = `interval` fused train steps (lax.scan of the shared
+    step body) + the ADC refine pass + an on-device alive-first compaction
+    (resize.compact_train_state), all inside a single jitted outer scan —
+    zero host round trips between the dispatch and the final block.
+
+    This is the tunnel-proof training segment: on a networked TPU every
+    host sync costs an RTT that can reach seconds (docs/DESIGN.md §3), and
+    the normal Trainer.run pays one blocking num_alive fetch per refine
+    boundary. Here the refine fires on-device, gated by the same
+    warmup/stop_split range the trainer uses (lax.cond), with the SAME
+    per-step seed derivation, so the trajectory matches Trainer.run up to
+    host-policy resizes (capacity bucket / pair budget / cover window),
+    which the caller must have let settle first.
+
+    Returns f(gaussians, opt, cam_state, stats, step0) ->
+    (gaussians, opt, cam_state, stats, metrics) where metrics holds one
+    row per interval (last-step loss/psnr/telemetry + summed nonfinite).
+    """
+    cfg = _patched_cfg(cfg, tile_capacity, cover_tiles)
+    body = _make_step_body(cfg, camera, data, adam_groups, render_n)
+    adc = cfg.train.adc
+    steps = interval if interval is not None else adc.refine_every
+    nv = data.images.shape[0]
+    seed_base = (cfg.train.seed * 1_000_003) % (1 << 32)
+
+    @jax.jit
+    def fused(gaussians, opt, cam_state, stats, step0):
+        def one_interval(carry, i):
+            g, o, cs, st = carry
+            s0 = step0 + i * steps
+            cam_idx = (s0 + jnp.arange(steps, dtype=jnp.int32)) % nv
+            (g, o, cs, st, _), m = jax.lax.scan(
+                body, (g, o, cs, st, s0), cam_idx)
+            s_end = s0 + steps
+
+            def do_refine(args):
+                g, o, st = args
+                # same seed derivation as Trainer.run (uint32 wraparound)
+                seed = jnp.uint32(seed_base) + s_end.astype(jnp.uint32)
+                g, o, st, _info = refine(g, o, st, jax.random.PRNGKey(seed),
+                                         adc, s_end, scene_scale=scene_scale)
+                return compact_train_state(g, o, st)
+
+            fire = ((s_end >= adc.warmup) & (s_end < adc.stop_split_at)
+                    & ((s_end - adc.warmup) % adc.refine_every == 0))
+            g, o, st = jax.lax.cond(fire, do_refine, lambda a: a, (g, o, st))
+            summary = {k: m[k][-1] for k in ("loss", "psnr", "overflow",
+                                             "trunc_by_win", "pairs_used")}
+            summary["nonfinite"] = jnp.sum(m["nonfinite"])
+            return (g, o, cs, st), summary
+
+        (g, o, cs, st), ms = jax.lax.scan(
+            one_interval, (gaussians, opt, cam_state, stats),
+            jnp.arange(n_intervals, dtype=jnp.int32))
+        return g, o, cs, st, ms
+
+    return fused
 
 
 class Trainer:
@@ -518,6 +605,82 @@ class Trainer:
                 break
         if want_w != cur_w:
             self.cover_tiles = want_w * want_w
+
+    def run_fused(self, n_intervals: int, interval: Optional[int] = None,
+                  block: bool = False):
+        """Advance n_intervals refine intervals in ONE device dispatch.
+
+        Zero host syncs inside: the ADC refine and the alive-first
+        compaction run on device (make_fused_intervals). Preconditions the
+        caller owns: the adaptive policies (capacity bucket, render_n,
+        pair budget, cover window) have settled, and self.step sits on a
+        refine-interval boundary so the on-device refine gate matches what
+        Trainer.run would have fired. Host policy state is NOT updated —
+        call sync_policies() afterwards to re-establish it.
+
+        Returns the per-interval metrics pytree (device arrays; call
+        jax.block_until_ready / device_get yourself — or pass block=True).
+        """
+        adc = self.cfg.train.adc
+        interval = interval or adc.refine_every
+        if (self.step - adc.warmup) % adc.refine_every:
+            raise ValueError(
+                f"run_fused at step {self.step}: not on a refine boundary")
+        key = ("fused", self.gaussians.capacity, self.render_n,
+               self.tile_capacity, self.cover_tiles, interval, n_intervals)
+        fn = self._chunk_cache.get(key)
+        if fn is None:
+            fn = make_fused_intervals(
+                self.cfg, self.camera, self.data, self._adam_groups,
+                render_n=self.render_n, tile_capacity=self.tile_capacity,
+                cover_tiles=self.cover_tiles, interval=interval,
+                n_intervals=n_intervals, scene_scale=self.scene_scale)
+            self._chunk_cache[key] = fn
+        import numpy as _np
+
+        g, o, cs, st, ms = fn(self.gaussians, self.opt, self.cam_state,
+                              self.stats, _np.int32(self.step))
+        self.gaussians, self.opt, self.cam_state, self.stats = g, o, cs, st
+        self.step += n_intervals * interval
+        if block:
+            jax.block_until_ready(ms)
+        return ms
+
+    def sync_policies(self, metrics=None):
+        """One host sync re-establishing the adaptive policy state after
+        fused segments: fetch telemetry, re-bucket capacity, re-pick the
+        render prefix, and tick the pair-budget / cover-window policies.
+        `metrics` is the last run_fused return (uses its final interval row
+        for pairs/window telemetry when given). Appends a history record."""
+        cfg = self.cfg
+        fetch = [self.gaussians.num_alive]
+        if metrics is not None:
+            fetch += [metrics["pairs_used"][-1], metrics["trunc_by_win"][-1],
+                      metrics["overflow"][-1], metrics["loss"][-1],
+                      metrics["psnr"][-1], jnp.sum(metrics["nonfinite"])]
+        vals = jax.device_get(fetch)
+        n_alive = int(vals[0])
+        if self.auto_capacity:
+            cap = pick_capacity(n_alive, self.gaussians.capacity,
+                                self.max_capacity,
+                                minimum=min(1024, self.max_capacity))
+            if cap != self.gaussians.capacity:
+                self.gaussians, self.opt, self.stats = resize_train_state(
+                    self.gaussians, self.opt, self.stats, new_capacity=cap)
+        if cfg.train.render_prefix:
+            self._recompact(n_alive)
+        if metrics is not None:
+            pu, tbw, ovf, loss_h, psnr_h, nf = vals[1:]
+            self._maybe_bump_tile_capacity(int(ovf))
+            self._maybe_resize_pair_budget(int(pu))
+            self._maybe_adjust_cover_window(tbw)
+            self.history.append({
+                "step": self.step, "loss": float(loss_h),
+                "psnr": float(psnr_h), "num_gaussians": n_alive,
+                "tile_overflow": int(ovf), "nonfinite_steps": int(nf),
+                "capacity": self.gaussians.capacity,
+            })
+        return n_alive
 
     def _cam_indices(self, n: int):
         # sequential camera order, like the reference datamanager

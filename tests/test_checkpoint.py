@@ -127,3 +127,36 @@ def test_trainer_resume_rejects_mismatched_views(tmp_path):
     import pytest as _pytest
     with _pytest.raises(AssertionError):
         tr2.restore(tmp_path / "ckpt")
+
+
+def test_load_for_inference_rebinarizes(tmp_path):
+    """A binary-opacities checkpoint whose logits were saved un-snapped
+    (reset-margin window, or older forward-time-STE code) must come back
+    binarized for eval/mesh/render — the reference re-applies its logit
+    surgery in get_outputs even at eval (dn_model.py:493-503)."""
+    import numpy as np
+
+    from fusionsense_tpu.train.checkpoint import load_for_inference
+
+    tr, _, _ = _mini_trainer()          # default config: binary_opacities on
+    assert tr.cfg.model.binary_opacities
+    mid = jnp.linspace(-2.0, 2.0, tr.gaussians.capacity)
+    tr.gaussians = tr.gaussians.replace(logit_opacities=mid)
+    tr.save(tmp_path / "ckpt")
+
+    g, step, _ = load_for_inference(tmp_path / "ckpt")
+    logits = np.asarray(g.logit_opacities)
+    thr = tr.cfg.model.binary_opacity_threshold
+    assert set(np.unique(logits)) <= {0.0, 1.0}
+    np.testing.assert_array_equal(logits, (np.asarray(mid) >= thr).astype(np.float32))
+
+    # and a non-binary run round-trips logits untouched
+    import dataclasses as dc
+    tr2, _, _ = _mini_trainer()
+    tr2.cfg = dc.replace(tr2.cfg, model=dc.replace(tr2.cfg.model,
+                                                   binary_opacities=False))
+    tr2.gaussians = tr2.gaussians.replace(logit_opacities=mid)
+    tr2.save(tmp_path / "ckpt2")
+    g2, _, _ = load_for_inference(tmp_path / "ckpt2")
+    np.testing.assert_allclose(np.asarray(g2.logit_opacities),
+                               np.asarray(mid), atol=1e-6)

@@ -93,3 +93,38 @@ def test_cli_unknown_and_airgap(tmp_path, capsys):
     rc = main(["omnidata", "--save-dir", str(tmp_path)])
     assert rc == 1
     assert "omnidata_dpt_normal_v2.ckpt" in capsys.readouterr().err
+
+
+def test_fetch_skips_already_extracted(tmp_path, monkeypatch):
+    """Re-running fetch after the archive was consumed must NOT re-download
+    (ADVICE r4: keep_archives=False deleted the archive, and the old code
+    re-fetched multi-GB artifacts on every rerun)."""
+    src = tmp_path / "stage"
+    src.mkdir()
+    (src / "capture").mkdir()
+    (src / "capture" / "transforms.json").write_text("{}")
+    archive = tmp_path / "room.tar.gz"
+    with tarfile.open(archive, "w:gz") as tf:
+        tf.add(src / "capture", arcname="capture")
+
+    from fusionsense_tpu.data import download as dl
+
+    calls = []
+    real = dl._stream_download
+
+    def counting(url, dest, log=print):
+        calls.append(url)
+        return real(url, dest, log=log)
+
+    monkeypatch.setattr(dl, "_stream_download", counting)
+    monkeypatch.setitem(
+        dl.REGISTRY, "mushroom",
+        lambda room, sequence: [dl.Artifact(archive.as_uri(),
+                                            extract_to=room)])
+    kw = dict(room="activity", sequence="iphone", log=lambda *a, **k: None)
+    out1 = fetch("mushroom", tmp_path / "d", **kw)
+    assert len(calls) == 1
+    assert not (tmp_path / "d" / "room.tar.gz").exists()  # archive consumed
+    out2 = fetch("mushroom", tmp_path / "d", **kw)   # idempotent re-run
+    assert len(calls) == 1, "re-run re-downloaded the archive"
+    assert out1 == out2

@@ -181,3 +181,31 @@ def test_pallas_absgrad_tap():
     assert float(g_abs.sum()) > 0
     # abs accumulation dominates the signed sum elementwise
     assert jnp.all(g_abs >= jnp.abs(g_signed) - 1e-6)
+
+
+def test_flat_grad_transpose_scatter_matches_landing():
+    """The segment-sum gradient transpose (no landing map) must produce the
+    same gradients as the round-3 landing-gather path — including the
+    mean2d/absgrad taps that ride table columns 0-1/6-7."""
+    import dataclasses
+
+    cam = make_camera(jnp.eye(4), 80.0, 80.0, 16.0, 16.0, 32, 32)
+    sc = scene(jax.random.PRNGKey(3), n=25)
+    target = jnp.full((32, 32, 3), 0.4)
+    cfg_s = dataclasses.replace(CFG_F, flat_grad_transpose="scatter")
+    cfg_l = dataclasses.replace(CFG_F, flat_grad_transpose="landing")
+
+    def loss(cfg, m, q, s, o, c, tap, abst):
+        out = rasterize(m, q, s, o, c, cam, cfg, mean2d_tap=tap,
+                        absgrad_tap=abst)
+        return (jnp.mean((out.rgb - target) ** 2)
+                + 0.01 * jnp.mean(out.depth) + 0.05 * jnp.mean(out.alpha))
+
+    tap = jnp.zeros((sc[0].shape[0], 2))
+    g_s = jax.grad(lambda *a: loss(cfg_s, *a),
+                   argnums=(0, 1, 2, 3, 4, 5, 6))(*sc, tap, tap)
+    g_l = jax.grad(lambda *a: loss(cfg_l, *a),
+                   argnums=(0, 1, 2, 3, 4, 5, 6))(*sc, tap, tap)
+    for a, b in zip(g_s, g_l):
+        assert jnp.all(jnp.isfinite(a))
+        np.testing.assert_allclose(a, b, atol=1e-6, rtol=1e-4)

@@ -284,3 +284,42 @@ def test_flat_pallas_absgrad_stats_parity(fixture_scene):
                                atol=1e-5, rtol=2e-2)
     # abs accumulation dominates the signed-tap ("jax" backend) statistic
     assert bool(jnp.all(s_flat.grad2d_acc >= s_jax.grad2d_acc - 1e-5))
+
+
+def test_run_fused_matches_run(fixture_scene):
+    """The one-dispatch fused-intervals path (bench's tunnel-proof measured
+    window) must produce the same trajectory as Trainer.run when the
+    adaptive policies are static: same steps, same refine firings, same
+    seeds, same on-device compaction."""
+    cams, data, rcfg = fixture_scene
+    pts, rgb, normals = sphere_points(n=150, radius=0.5)
+    init = init_from_points(pts, rgb, capacity=1024, sh_degree=1)
+    cfg = ExperimentConfig(
+        model=ModelConfig(sh_degree=1, rasterize=rcfg, capacity=1024,
+                          binary_opacities=False),
+        train=TrainConfig(iterations=150, scan_chunk=50, log_every=50,
+                          auto_capacity=False, auto_tile_capacity=False,
+                          auto_cover_window=False,
+                          adc=ADCConfig(warmup=50, refine_every=50,
+                                        stop_split_at=150,
+                                        densify_grad_thresh=1e-5,
+                                        cull_alpha_thresh=0.05)),
+        loss=LossConfig(normal_lambda=0.1, sensor_depth_lambda=0.2,
+                        smooth_lambda=0.0, flatness_lambda=0.01),
+    )
+    tr_a = Trainer(cfg, cams, data, init)
+    tr_a.run(iterations=150, log=None)
+
+    tr_b = Trainer(cfg, cams, data, init)
+    ms = tr_b.run_fused(3, interval=50)
+    n_alive_b = tr_b.sync_policies(ms)
+
+    assert tr_b.step == tr_a.step == 150
+    assert n_alive_b == int(tr_a.gaussians.num_alive)
+    # identical trajectories up to float reassociation across programs
+    np.testing.assert_allclose(np.asarray(tr_a.gaussians.means),
+                               np.asarray(tr_b.gaussians.means),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(tr_a.gaussians.alive),
+                                  np.asarray(tr_b.gaussians.alive))
+    assert abs(tr_a.history[-1]["psnr"] - tr_b.history[-1]["psnr"]) < 0.05

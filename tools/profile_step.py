@@ -36,6 +36,10 @@ _ap.add_argument("--tile-capacity", type=int, default=None,
 _ap.add_argument("--blend-bf16", action="store_true",
                  help="bf16 blend matmuls in the pallas/flat kernels "
                       "(alpha math stays f32)")
+_ap.add_argument("--grad-transpose", choices=["scatter", "landing"],
+                 default="scatter",
+                 help="flat backend gradient transpose (scatter = "
+                      "segment-sum over gauss_ids, no landing map)")
 _args = _ap.parse_args()
 
 WIDTH, HEIGHT = 640, 480
@@ -46,7 +50,8 @@ _cap0 = _args.tile_capacity or (512 if _args.backend == "flat" else 1024)
 rcfg = RasterizeConfig(tile_size=32, tile_capacity=_cap0,
                        max_tiles_per_gaussian=9, tile_chunk=100,
                        sh_degree=3, backend=_args.backend,
-                       blend_bf16=_args.blend_bf16)
+                       blend_bf16=_args.blend_bf16,
+                       flat_grad_transpose=_args.grad_transpose)
 cams = ring_cameras(n_views=9, width=WIDTH, height_px=HEIGHT, focal=550.0)
 pts, rgb, normals = sphere_points(n=30000, radius=0.5)
 g = init_from_points(pts, rgb, capacity=CAP, sh_degree=3,
@@ -114,11 +119,14 @@ _T = (-(-WIDTH // rcfg.tile_size)) * (-(-HEIGHT // rcfg.tile_size))
 def binning_only(mean2d, radius, depth, carry):
     if rcfg.backend == "flat":
         pb = -(-tr.tile_capacity * _T // 128) * 128   # mirror rasterize.py
+        want_landing = rcfg.flat_grad_transpose != "scatter"
         b = flat_bin_gaussians(
             mean2d + carry, radius, depth, width=WIDTH, height=HEIGHT,
             tile_size=rcfg.tile_size, pair_budget=pb,
-            max_tiles_per_gaussian=tr.cover_tiles)
-        return (b.gauss_ids.sum() + b.landing.sum()).astype(jnp.float32)
+            max_tiles_per_gaussian=tr.cover_tiles,
+            compute_landing=want_landing)
+        acc = b.gauss_ids.sum() + (b.landing.sum() if want_landing else 0)
+        return acc.astype(jnp.float32)
     b = bin_gaussians(mean2d + carry, radius, depth, width=WIDTH,
                       height=HEIGHT, tile_size=rcfg.tile_size,
                       tile_capacity=tr.tile_capacity,
