@@ -22,6 +22,10 @@ def build_parser():
     p.add_argument("--output-dir", default=None,
                    help="default: checkpoint parent")
     p.add_argument("--resolution", type=int, default=192)
+    p.add_argument("--voxel-size", type=float, default=None,
+                   help="tsdf: fuse at this FIXED metric voxel (reference "
+                        "vdbfusion 0.004); room-scale scenes switch to the "
+                        "sparse brick-hash volume automatically")
     p.add_argument("--level", type=float, default=0.3,
                    help="sugar-coarse density level")
     p.add_argument("--levels", type=float, nargs="*", default=None,
@@ -71,7 +75,8 @@ def main(argv=None):
             args.method, gaussians, camera, rcfg, out,
             untransform=scene.untransform_points, hull_points=hull,
             resolution=args.resolution, level=lvl,
-            level_mode=args.level_mode, cam_deltas=deltas)
+            level_mode=args.level_mode, cam_deltas=deltas,
+            voxel_size=args.voxel_size)
         print(f"mesh[{args.method}] level {lvl} @ step {step}: "
               f"{len(verts)} verts, {len(faces)} faces -> {path}")
 

@@ -76,6 +76,16 @@ class TrainConfig:
     #   splats are small enough (they are, after ADC splits settle)
     cover_trunc_frac: float = 1e-3      # accept a window whose truncated
     #   pairs stay under this fraction of the render population
+    bin_refresh_steps: int = 0          # flat backend: >0 caches each
+    #   view's tile binning in the scan carry and reuses it on later
+    #   visits until it is >= this many STEPS old (sequential cameras
+    #   visit a view every V steps, so refresh=2V rebins every 2nd visit;
+    #   any value <= V is exact per-visit binning). Reusing steps pay a
+    #   ~1 MB dynamic-slice instead of the sort/segment pass; compositing
+    #   always uses CURRENT projected values (the table gather is fresh),
+    #   only the pair SELECTION is stale. 0 = bin per step (exact). The
+    #   cache is chunk-local, so ADC refines / compactions (which permute
+    #   slots) can never corrupt it.
     camera_opt: bool = False            # optimize SE3 camera deltas
     camera_opt_lr: float = 1e-3         # reference dn_config camera_opt lr
     camera_opt_every_k: int = 100       # grad accumulation (dn_config.py:29)

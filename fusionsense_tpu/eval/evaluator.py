@@ -108,8 +108,10 @@ def evaluate(
             m["lpips"] = _lpips.lpips(np.asarray(out.rgb),
                                       np.asarray(data.images[i]))
         if data.sensor_depths is not None:
+            dm = None if data.masks is None else data.masks[i]
             m.update({f"depth_{k}": v for k, v in
-                      M.depth_metrics(out.depth, data.sensor_depths[i]).items()})
+                      M.depth_metrics(out.depth, data.sensor_depths[i],
+                                      mask=dm).items()})
         if data.normals is not None:
             mask = data.masks[i] if data.masks is not None else (
                 data.sensor_depths[i] > 1e-4 if data.sensor_depths is not None

@@ -46,9 +46,18 @@ def rgb_metrics(pred, gt, mask=None) -> dict:
 
 
 def depth_metrics(pred: jax.Array, gt: jax.Array,
-                  tolerance: float = 0.1) -> dict:
-    """Standard monodepth metric battery over valid (gt > tolerance) pixels."""
+                  tolerance: float = 0.1, mask=None) -> dict:
+    """Standard monodepth metric battery over valid (gt > tolerance) pixels.
+
+    `mask` (optional, (H, W) {0,1}) restricts the battery to the object —
+    the masked-capture protocol: with real sensor maps the background wall
+    has valid depth too, but a masked training run never supervises it, so
+    scoring it would measure the mask, not the reconstruction (reference
+    eval_utils/mask_rendering_eval.py depth_eval applies its masks the
+    same way)."""
     valid = gt > tolerance
+    if mask is not None:
+        valid = valid & (mask > 0.5)
     n = jnp.maximum(jnp.sum(valid), 1)
     p = jnp.where(valid, pred, 1.0)
     g = jnp.where(valid, gt, 1.0)

@@ -47,7 +47,17 @@ def integrate_view(
     viewmat: jax.Array, fx, fy, cx, cy,
     *, width: int, height: int, cfg: TSDFConfig,
 ):
-    """Fuse one depth map into the volume (projective TSDF update)."""
+    """Fuse one depth map into the volume (projective TSDF update).
+
+    Guarded to object-scale volumes: the dense sweep is O(X*Y*Z) per view
+    and the two f32 grids live in HBM. Room-scale scenes at a fixed voxel
+    (the reference's vdbfusion regime, export_mesh.py:803-817) must use
+    mesh/tsdf_sparse.py instead.
+    """
+    assert np.prod(cfg.resolution) <= (1 << 27), (
+        f"dense TSDF at {cfg.resolution} needs "
+        f"{int(np.prod(cfg.resolution)) * 8 / 1e9:.1f} GB of grids; use "
+        "fusionsense_tpu.mesh.tsdf_sparse.SparseTSDF for room-scale scenes")
 
     def chunk_update(args):
         vox, ts, w = args

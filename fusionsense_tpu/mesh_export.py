@@ -75,7 +75,14 @@ def extract(
     poisson: PoissonConfig = PoissonConfig(),
     n_views: int | None = None,
     cam_deltas=None,
+    voxel_size: float | None = None,
 ):
+    """voxel_size: tsdf method only — fuse at this FIXED metric voxel (the
+    reference's vdbfusion semantics, 0.004 m at export_mesh.py:803). When
+    the implied dense grid would exceed ~512^3 (room-scale layouts), the
+    fusion automatically switches to the sparse brick-hash volume
+    (mesh/tsdf_sparse.py). None = size the voxel from the scene extent /
+    `resolution` (dense object-scale default)."""
     out_dir = Path(out_dir)
     out_dir.mkdir(parents=True, exist_ok=True)
     if cam_deltas is not None:
@@ -93,9 +100,30 @@ def extract(
 
     if method == "tsdf":
         depths, _, _ = _render_depths(gaussians, camera, rasterize_cfg, V)
-        cfg = _auto_tsdf_cfg(means_np, resolution)
-        tsdf, weight = fuse_depths(jnp.asarray(depths), camera, cfg)
-        verts, faces = tsdf_extract(tsdf, weight, cfg)
+        if voxel_size is not None:
+            lo, hi = means_np.min(0), means_np.max(0)
+            need = int(np.ceil(float((hi - lo).max()) * 1.2 / voxel_size))
+            if need ** 3 > (1 << 27):
+                from fusionsense_tpu.mesh.tsdf_sparse import (
+                    SparseTSDFConfig, fuse_depths_sparse,
+                )
+
+                vol = fuse_depths_sparse(depths, camera, SparseTSDFConfig(
+                    voxel_size=voxel_size, truncation=3 * voxel_size))
+                verts, faces = vol.extract_mesh()
+            else:
+                center = (lo + hi) / 2
+                ext = need * voxel_size
+                cfg = TSDFConfig(voxel_size=voxel_size,
+                                 truncation=3 * voxel_size, min_weight=2.0,
+                                 origin=tuple(center - ext / 2),
+                                 resolution=(need,) * 3)
+                tsdf, weight = fuse_depths(jnp.asarray(depths), camera, cfg)
+                verts, faces = tsdf_extract(tsdf, weight, cfg)
+        else:
+            cfg = _auto_tsdf_cfg(means_np, resolution)
+            tsdf, weight = fuse_depths(jnp.asarray(depths), camera, cfg)
+            verts, faces = tsdf_extract(tsdf, weight, cfg)
 
     elif method == "dn":
         from fusionsense_tpu.core.cameras import backproject_depth

@@ -192,6 +192,10 @@ def rasterize(
     absgrad_tap: Optional[jax.Array] = None,  # (N, 2) zeros; |grad| tap
     #   (pallas backend only: its custom-vjp gradient accumulates the
     #   per-tile ABSOLUTE screen-position gradients — gsplat's absgrad)
+    bins=None,   # flat backend: precomputed FlatBins (trainer bin cache —
+    #   the binning stage is pure integer selection machinery, so a
+    #   trainer may reuse a few-steps-stale layout; compositing always
+    #   uses CURRENT projected values via the fresh table gather)
 ) -> RenderOutputs:
     N = means.shape[0]
     grid = TileGrid(width=camera.width, height=camera.height, tile_size=cfg.tile_size)
@@ -244,16 +248,21 @@ def rasterize(
         # the trainer's auto-capacity policy (overflow-telemetry bump)
         # carries over unchanged from the dense layout
         PB = -(-cfg.tile_capacity * grid.num_tiles // B) * B
-        use_scatter = cfg.flat_grad_transpose == "scatter"
-        fb = flat_bin_gaussians(
-            jax.lax.stop_gradient(proj.mean2d),
-            jax.lax.stop_gradient(proj.radius),
-            jax.lax.stop_gradient(proj.depth),
-            width=camera.width, height=camera.height,
-            tile_size=cfg.tile_size, pair_budget=PB,
-            max_tiles_per_gaussian=cfg.max_tiles_per_gaussian, block=B,
-            compute_landing=not use_scatter,
-        )
+        if bins is not None:
+            fb = bins
+        else:
+            fb = flat_bin_gaussians(
+                jax.lax.stop_gradient(proj.mean2d),
+                jax.lax.stop_gradient(proj.radius),
+                jax.lax.stop_gradient(proj.depth),
+                width=camera.width, height=camera.height,
+                tile_size=cfg.tile_size, pair_budget=PB,
+                max_tiles_per_gaussian=cfg.max_tiles_per_gaussian, block=B,
+                compute_landing=cfg.flat_grad_transpose != "scatter",
+            )
+        # the gradient transpose must match what the layout provides
+        use_scatter = (cfg.flat_grad_transpose == "scatter"
+                       or fb.landing is None)
         nchan = channels.shape[-1]
         pad_c = (-nchan) % 8
         log_op = jnp.where(proj.valid,

@@ -68,6 +68,7 @@ def compute_losses(
     cam_delta: Optional[jax.Array] = None,   # (6,) SE3 pose correction
     absgrad_tap: Optional[jax.Array] = None,
     render_n: Optional[int] = None,
+    bins=None,   # precomputed FlatBins (trainer bin cache, flat backend)
 ):
     """Forward + composite DN-Splatter loss for one camera.
 
@@ -102,6 +103,7 @@ def compute_losses(
         background=jnp.asarray(mc.background, jnp.float32),
         mean2d_tap=tap,
         absgrad_tap=absgrad_tap,
+        bins=bins,
     )
 
     return loss_terms(out, normals_g, gaussians, cam_i, data, cam_idx,
@@ -244,32 +246,118 @@ def make_train_chunk(cfg: ExperimentConfig, camera: Camera, data: TrainData,
     truncation telemetry — the sort population scales linearly with it).
     """
     cfg = _patched_cfg(cfg, tile_capacity, cover_tiles)
-    body = _make_step_body(cfg, camera, data, adam_groups, render_n)
+    body, extra_init = _make_step_body(cfg, camera, data, adam_groups,
+                                       render_n)
 
     @jax.jit
     def train_chunk(gaussians, opt, cam_state, stats, step0, cam_indices):
-        (gaussians, opt, cam_state, stats, _), metrics = jax.lax.scan(
-            body, (gaussians, opt, cam_state, stats, step0), cam_indices
-        )
+        init = (gaussians, opt, cam_state, stats, step0) + extra_init()
+        carry, metrics = jax.lax.scan(body, init, cam_indices)
+        gaussians, opt, cam_state, stats = carry[:4]
         return gaussians, opt, cam_state, stats, metrics
 
     return train_chunk
+
+
+def _bin_cache_fns(cfg: ExperimentConfig, camera: Camera, nv: int,
+                   render_n: Optional[int], use_cam_opt: bool):
+    """(empty_bins, bin_one) for the carry-cached per-view binning.
+
+    bin_one(gaussians, cam_deltas, v) projects view v (current params,
+    current pose deltas) and builds its flat segmented layout; the step
+    body caches it in the scan carry and REUSES it on later visits of the
+    same view until it ages past bin_refresh_steps — steps that reuse pay
+    only a ~1 MB dynamic-slice instead of the full sort/segment pass.
+    (A vmapped all-view variant was measured SLOWER on-chip: binning is
+    throughput-bound at bench populations, so batching V views costs ~V x
+    one view and amortizes nothing — DESIGN.md §5e.)
+    """
+    import math as _math
+
+    from fusionsense_tpu.core.transforms import apply_se3_delta as _se3
+    from fusionsense_tpu.render.binning import FlatBins, flat_bin_gaussians
+    from fusionsense_tpu.render.composite import TileGrid
+    from fusionsense_tpu.render.project import project_gaussians
+
+    rc = cfg.model.rasterize
+    grid = TileGrid(width=camera.width, height=camera.height,
+                    tile_size=rc.tile_size)
+    B = rc.pallas_chunk
+    PB = -(-rc.tile_capacity * grid.num_tiles // B) * B
+    win = max(1, int(_math.isqrt(rc.max_tiles_per_gaussian)))
+    C = win * win
+    N = render_n if render_n is not None else cfg.model.capacity
+    nb = PB // B
+
+    want_landing = rc.flat_grad_transpose != "scatter"
+
+    def empty_bins() -> FlatBins:
+        i32 = jnp.int32
+        return FlatBins(
+            gauss_ids=jnp.zeros((nv, PB), i32),
+            valid=jnp.zeros((nv, PB), bool),
+            blk_tile=jnp.zeros((nv, nb), i32),
+            blk_first=jnp.zeros((nv, nb), i32),
+            blk_count=jnp.zeros((nv, nb), i32),
+            landing=jnp.full((nv, N, C), -1, i32) if want_landing else None,
+            overflow=jnp.zeros((nv,), i32),
+            truncated=jnp.zeros((nv,), i32),
+            trunc_by_win=jnp.zeros((nv, 5), i32),
+            used=jnp.zeros((nv,), i32),
+        )
+
+    def bin_one(gaussians: GaussianState, cam_deltas, v) -> FlatBins:
+        means, quats, scales, op, _ = activated(gaussians)
+        if render_n is not None and render_n < gaussians.capacity:
+            means, quats, scales, op = (means[:render_n], quats[:render_n],
+                                        scales[:render_n], op[:render_n])
+        cam_v = camera.index(v)
+        if use_cam_opt:
+            cam_v = cam_v.replace(
+                viewmat=_se3(cam_v.viewmat, cam_deltas[v]))
+        proj = project_gaussians(
+            means, quats, scales, op, cam_v,
+            near=rc.near, far=rc.far, eps2d=rc.eps2d,
+            antialiased=rc.antialiased, radius_clip=rc.radius_clip)
+        return flat_bin_gaussians(
+            jax.lax.stop_gradient(proj.mean2d),
+            jax.lax.stop_gradient(proj.radius),
+            jax.lax.stop_gradient(proj.depth),
+            width=camera.width, height=camera.height,
+            tile_size=rc.tile_size, pair_budget=PB,
+            max_tiles_per_gaussian=rc.max_tiles_per_gaussian, block=B,
+            compute_landing=want_landing)
+
+    return empty_bins, bin_one
 
 
 def _make_step_body(cfg: ExperimentConfig, camera: Camera, data: TrainData,
                     adam_groups=None, render_n: Optional[int] = None):
     """The single-train-step scan body shared by make_train_chunk and
     make_fused_intervals. `cfg` must already carry the adaptive overrides
-    (_patched_cfg)."""
+    (_patched_cfg).
+
+    Returns (body, extra_init): the scan carry is
+    (gaussians, opt, cam_state, stats, step) + extra_init(), where the
+    extra elements hold the all-view bin cache + its age when
+    cfg.train.bin_refresh_steps > 0 (flat backend). The cache is CARRY-
+    local: each chunk/interval starts stale, so host-side refines,
+    compactions, and resizes between dispatches can never corrupt it.
+    """
     adam_groups = adam_groups or DEFAULT_GROUPS
     use_cam_opt = cfg.train.camera_opt
+    refresh = cfg.train.bin_refresh_steps
+    use_bin_cache = refresh > 0 and cfg.model.rasterize.backend == "flat"
+    if use_bin_cache:
+        empty_bins, bin_one = _bin_cache_fns(
+            cfg, camera, data.images.shape[0], render_n, use_cam_opt)
 
     cam_group = {"cam_delta": GroupSpec(cfg.train.camera_opt_lr,
                                         every_k=cfg.train.camera_opt_every_k,
                                         eps=1e-8)}
 
     def body(carry, cam_idx):
-        gaussians, opt, cam_state, stats, step = carry
+        gaussians, opt, cam_state, stats, step = carry[:5]
         cam_deltas, cam_opt = cam_state
 
         if cfg.model.binary_opacities:
@@ -288,6 +376,19 @@ def _make_step_body(cfg: ExperimentConfig, camera: Camera, data: TrainData,
                     skip=adc_c.reset_alpha_every * adc_c.refine_every,
                     margin=cfg.model.binary_opacity_margin))
 
+        fb = None
+        if use_bin_cache:
+            bins, age = carry[5], carry[6]          # age: (V,) steps-old
+            need = age[cam_idx] >= refresh
+            fb = jax.lax.cond(
+                need, lambda _: bin_one(gaussians, cam_deltas, cam_idx),
+                lambda _: jax.tree.map(lambda x: x[cam_idx], bins), None)
+            bins = jax.tree.map(
+                lambda full, new: jax.lax.dynamic_update_index_in_dim(
+                    full, new.astype(full.dtype), cam_idx, 0), bins, fb)
+            age = (age + 1).at[cam_idx].set(
+                jnp.where(need, jnp.int32(1), age[cam_idx] + 1))
+
         # both Pallas backends surface gsplat-style absgrad through the
         # table transpose (dense: pallas_composite2 cols 6-7; flat:
         # pallas_flat cols 6-7) — the "jax" backend has no tap and falls
@@ -299,7 +400,7 @@ def _make_step_body(cfg: ExperimentConfig, camera: Camera, data: TrainData,
             delta = deltas[cam_idx] if use_cam_opt else None
             return compute_losses(g, camera, data, cam_idx, step, cfg, tap,
                                   cam_delta=delta, absgrad_tap=abs_tap,
-                                  render_n=render_n)
+                                  render_n=render_n, bins=fb)
 
         tap0 = jnp.zeros((gaussians.capacity, 2))
         (loss, (parts, aux)), grads = jax.value_and_grad(
@@ -360,10 +461,21 @@ def _make_step_body(cfg: ExperimentConfig, camera: Camera, data: TrainData,
                    "trunc_by_win": aux["trunc_by_win"],
                    "pairs_used": aux["pairs_used"],
                    "nonfinite": (~ok).astype(jnp.int32)}
-        return (gaussians2, opt2, (cam_deltas, cam_opt),
-                stats2, step + 1), metrics
+        out_carry = (gaussians2, opt2, (cam_deltas, cam_opt),
+                     stats2, step + 1)
+        if use_bin_cache:
+            out_carry = out_carry + (bins, age)
+        return out_carry, metrics
 
-    return body
+    def extra_init():
+        if use_bin_cache:
+            # ages start AT the refresh threshold: every view rebins on
+            # its first visit of the chunk/interval, from current params
+            return (empty_bins(),
+                    jnp.full((data.images.shape[0],), refresh, jnp.int32))
+        return ()
+
+    return body, extra_init
 
 
 def make_fused_intervals(cfg: ExperimentConfig, camera: Camera,
@@ -395,7 +507,8 @@ def make_fused_intervals(cfg: ExperimentConfig, camera: Camera,
     row per interval (last-step loss/psnr/telemetry + summed nonfinite).
     """
     cfg = _patched_cfg(cfg, tile_capacity, cover_tiles)
-    body = _make_step_body(cfg, camera, data, adam_groups, render_n)
+    body, extra_init = _make_step_body(cfg, camera, data, adam_groups,
+                                       render_n)
     adc = cfg.train.adc
     steps = interval if interval is not None else adc.refine_every
     nv = data.images.shape[0]
@@ -407,8 +520,11 @@ def make_fused_intervals(cfg: ExperimentConfig, camera: Camera,
             g, o, cs, st = carry
             s0 = step0 + i * steps
             cam_idx = (s0 + jnp.arange(steps, dtype=jnp.int32)) % nv
-            (g, o, cs, st, _), m = jax.lax.scan(
-                body, (g, o, cs, st, s0), cam_idx)
+            # bin cache (when enabled) starts stale each interval, so the
+            # refine/compaction below can never feed it permuted slots
+            init = (g, o, cs, st, s0) + extra_init()
+            out_carry, m = jax.lax.scan(body, init, cam_idx)
+            g, o, cs, st = out_carry[:4]
             s_end = s0 + steps
 
             def do_refine(args):

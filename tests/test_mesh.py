@@ -168,3 +168,89 @@ def test_level_set_modes_reduce_bias():
     # and the calibrated modes are strictly less outward-biased
     assert abs(bias["peak"]) < abs(bias["absolute"]), bias
     assert abs(bias["relative"]) <= abs(bias["absolute"]) + 1e-6, bias
+
+
+def test_sparse_tsdf_matches_dense():
+    """Sparse brick-hash fusion must reproduce the dense grid's surface on
+    an object scene at the same voxel size (VERDICT r4 weak #6)."""
+    from fusionsense_tpu.mesh.tsdf_sparse import (
+        SparseTSDFConfig, fuse_depths_sparse,
+    )
+
+    cams = ring_cameras(n_views=6, width=80, height_px=60, focal=70.0,
+                        radius=1.6, height=0.5)
+    depths = jnp.stack([
+        sphere_depth_normals(cams.index(i), radius=0.35)[0]
+        for i in range(6)])
+    vol = fuse_depths_sparse(np.asarray(depths), cams, SparseTSDFConfig(
+        voxel_size=0.02, truncation=0.06, min_weight=2.0))
+    verts, faces = vol.extract_mesh()
+    assert len(verts) > 200 and len(faces) > 200
+    r = np.linalg.norm(verts, axis=-1)
+    assert abs(np.median(r) - 0.35) < 0.04
+    assert np.percentile(np.abs(r - 0.35), 90) < 0.06
+
+
+def _room_depths(n_views=8, width=96, height=72, half=2.0):
+    """Inward-looking cameras at the center of a half*2-wide cubic room:
+    analytic depth of the axis-aligned box walls along each pixel ray."""
+    from fusionsense_tpu.core.cameras import make_camera
+
+    viewmats, depths = [], []
+    for i in range(n_views):
+        ang = 2 * np.pi * i / n_views
+        # camera at origin looking outward along (cos a, sin a, 0)
+        fwd = np.array([np.cos(ang), np.sin(ang), 0.0])
+        up = np.array([0.0, 0.0, 1.0])
+        right = np.cross(fwd, up)
+        c2w = np.eye(4)
+        c2w[:3, 0], c2w[:3, 1], c2w[:3, 2] = right, -up, fwd  # OpenCV cam
+        viewmat = np.linalg.inv(c2w)
+        fx = fy = 60.0
+        us, vs = np.meshgrid(np.arange(width) + 0.5,
+                             np.arange(height) + 0.5)
+        rays = np.stack([(us - width / 2) / fx, (vs - height / 2) / fy,
+                         np.ones_like(us)], -1)
+        rays_w = rays @ viewmat[:3, :3]
+        # distance to the box |x|=half, |y|=half, |z|=half along each ray
+        with np.errstate(divide="ignore"):
+            t_axis = np.where(np.abs(rays_w) > 1e-9,
+                              half / np.abs(rays_w), np.inf)
+        t = t_axis.min(-1)
+        z = t * rays[..., 2]          # z-depth parametrization
+        viewmats.append(viewmat.astype(np.float32))
+        depths.append(z.astype(np.float32))
+    fx = fy = 60.0
+    ones = jnp.ones((n_views,), jnp.float32)
+    batched = make_camera(jnp.asarray(np.stack(viewmats)), fx * ones,
+                          fy * ones, (width / 2) * ones,
+                          (height / 2) * ones, width, height)
+    return batched, np.stack(depths)
+
+
+def test_sparse_tsdf_room_scale_fixed_voxel():
+    """A 4 m room fused at the reference's FIXED 0.004 m voxel
+    (export_mesh.py:803): the dense grid would need 1200^3 ~= 14 GB and is
+    guarded off; the sparse volume fuses it in memory proportional to the
+    observed surface and reconstructs the walls."""
+    from fusionsense_tpu.mesh.tsdf import TSDFConfig, fuse_depths
+    from fusionsense_tpu.mesh.tsdf_sparse import (
+        SparseTSDFConfig, fuse_depths_sparse,
+    )
+
+    cams, depths = _room_depths()
+    # dense path refuses room-scale fixed-voxel grids with a clear error
+    big = TSDFConfig(voxel_size=0.004, resolution=(1200, 1200, 1200))
+    with pytest.raises(AssertionError, match="tsdf_sparse"):
+        fuse_depths(jnp.asarray(depths), cams, big)
+
+    vol = fuse_depths_sparse(depths, cams, SparseTSDFConfig(
+        voxel_size=0.004, truncation=0.012, min_weight=2.0))
+    # memory stays proportional to the truncation band around the walls
+    assert len(vol.keys) < 8_000_000
+    verts, faces = vol.extract_mesh()
+    assert len(verts) > 5_000
+    # every vertex lies on one of the walls (|coord|max ~= 2.0)
+    wall_err = np.abs(np.abs(verts).max(axis=1) - 2.0)
+    assert np.median(wall_err) < 0.008, float(np.median(wall_err))
+    assert np.percentile(wall_err, 90) < 0.02

@@ -233,3 +233,42 @@ def test_sphere_quality_cpu_tier():
     # measured CPU trajectory 2026-08-17: 18.36 @600 (19.5 @1200, 21.1
     # @1500); floor ~1 dB under the 600-step point
     assert psnr > 17.4, f"600-step CPU sphere PSNR regressed: {psnr}"
+
+
+@pytest.mark.slow
+def test_full_schedule_tpu_ledger(tmp_path):
+    """The FULL canonical 15k-step recipe as a one-command, re-checkable
+    assertion on silicon (VERDICT r4 directive #9):
+
+        FS_TPU_TESTS=1 PYTHONPATH=/root/repo:/root/.axon_site \\
+            python -m pytest tests/test_quality_ledger.py \\
+            -k full_schedule_tpu -m slow
+
+    Runs tools/full_schedule_run.py (15,000 iters, stop-split 10k,
+    touch-add at 1000, binary opacities, resets at 3.5k/6.5k/9.5k) and
+    pins its floors to docs/full_schedule_r04.json within stated bands:
+    final PSNR 44.99 -> floor 42; raw TSDF chamfer 2.77 -> <4.0; vis-cull
+    chamfer 0.143 -> <0.4; per-touch-site local chamfer 0.179-0.233 ->
+    each <0.6; population 14.3k -> 15.3k -> 14.1k stays bounded."""
+    if jax.default_backend() == "cpu":
+        pytest.skip("full-schedule ledger runs on silicon "
+                    "(FS_TPU_TESTS=1); CPU tier above covers the recipe")
+    import importlib.util
+    from pathlib import Path
+
+    spec = importlib.util.spec_from_file_location(
+        "full_schedule_run",
+        Path(__file__).resolve().parent.parent / "tools"
+        / "full_schedule_run.py")
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    out = mod.main(out_path=str(tmp_path / "full_schedule.json"))
+
+    assert out["final_psnr"] > 42.0, out
+    assert out["chamfer_x1e3"] < 4.0, out
+    assert out["chamfer_seen_x1e3"] < 0.4, out
+    loc = [v for v in out["local_chamfer_x1e3"] if v is not None]
+    assert len(loc) == 4 and max(loc) < 0.6, out
+    ns = [r["n"] for r in out["gaussian_trajectory"]]
+    assert max(ns) < 30_000, ns        # no late-schedule blowup
+    assert 5_000 < ns[-1] < 30_000, ns

@@ -323,3 +323,48 @@ def test_run_fused_matches_run(fixture_scene):
     np.testing.assert_array_equal(np.asarray(tr_a.gaussians.alive),
                                   np.asarray(tr_b.gaussians.alive))
     assert abs(tr_a.history[-1]["psnr"] - tr_b.history[-1]["psnr"]) < 0.05
+
+
+def test_bin_cache_refresh1_matches_per_step_binning(fixture_scene):
+    """bin_refresh_steps=1 rebins all views every step from the same
+    stop-gradient projection the per-step path uses — trajectories must
+    match to float tolerance."""
+    import dataclasses as dc
+
+    cams, data, rcfg = fixture_scene
+    rcfg_f = dc.replace(rcfg, backend="flat", tile_capacity=64,
+                        pallas_chunk=64)
+    pts, rgb, normals = sphere_points(n=150, radius=0.5)
+    init = init_from_points(pts, rgb, capacity=1024, sh_degree=1)
+
+    def cfg_with(refresh):
+        return ExperimentConfig(
+            model=ModelConfig(sh_degree=1, rasterize=rcfg_f, capacity=1024,
+                              binary_opacities=False),
+            train=TrainConfig(iterations=100, scan_chunk=50, log_every=50,
+                              auto_capacity=False, auto_tile_capacity=False,
+                              auto_cover_window=False,
+                              bin_refresh_steps=refresh,
+                              adc=ADCConfig(warmup=50, refine_every=50,
+                                            stop_split_at=100)),
+            loss=LossConfig(normal_lambda=0.1, sensor_depth_lambda=0.2,
+                            smooth_lambda=0.0, flatness_lambda=0.01),
+        )
+
+    tr0 = Trainer(cfg_with(0), cams, data, init)
+    tr0.run(iterations=100, log=None)
+    tr1 = Trainer(cfg_with(1), cams, data, init)
+    tr1.run(iterations=100, log=None)
+    np.testing.assert_allclose(np.asarray(tr0.gaussians.means),
+                               np.asarray(tr1.gaussians.means),
+                               rtol=1e-4, atol=1e-5)
+    assert abs(tr0.history[-1]["psnr"] - tr1.history[-1]["psnr"]) < 0.05
+
+    # stale cache (rebin every 9 steps): selection staleness must not
+    # break training — PSNR within a small band of the exact path, and
+    # the fused-interval program must accept the cached-bins carry too
+    tr9 = Trainer(cfg_with(9), cams, data, init)
+    ms = tr9.run_fused(2, interval=50)
+    tr9.sync_policies(ms)
+    assert tr9.step == 100
+    assert abs(tr9.history[-1]["psnr"] - tr0.history[-1]["psnr"]) < 1.0

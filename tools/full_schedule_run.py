@@ -203,6 +203,7 @@ def main(iters: int = ITERS, out_path: str = "docs/full_schedule_r04.json",
     Path(out_path).write_text(json.dumps(out, indent=1, allow_nan=False))
     print(json.dumps({k: v for k, v in out.items()
                       if k != "gaussian_trajectory"}, allow_nan=False))
+    return out
 
 
 if __name__ == "__main__":
