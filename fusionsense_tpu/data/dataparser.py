@@ -73,6 +73,12 @@ class ParsedScene:
     translate: np.ndarray = dataclasses.field(
         default_factory=lambda: np.zeros(3))
     scale: float = 1.0
+    # dataset-intrinsic 16-bit-depth unit (e.g. Replica's 1/6553.5);
+    # None = the caller's DataParserConfig.depth_unit_scale. Carried on
+    # the scene because the LAYOUT knows its unit, not the caller
+    # (load_train_data silently mis-scaling Replica depth by 6.55x was a
+    # real bug, caught by the room-fusion test in round 5).
+    depth_unit_scale: Optional[float] = None
     meta: dict = dataclasses.field(default_factory=dict)
 
     def untransform_points(self, pts: np.ndarray) -> np.ndarray:
@@ -262,13 +268,15 @@ def load_train_data(scene: ParsedScene, cfg: DataParserConfig,
             return None
         return np.stack([loader(i) for i in idx])
 
+    unit = (scene.depth_unit_scale if scene.depth_unit_scale is not None
+            else cfg.depth_unit_scale)
     depths = maybe_stack(
         scene.depth_paths,
-        lambda i: load_depth(scene.depth_paths[i], cfg.depth_unit_scale, d)
+        lambda i: load_depth(scene.depth_paths[i], unit, d)
         * scene.scale)
     mono = maybe_stack(
         scene.mono_depth_paths,
-        lambda i: load_depth(scene.mono_depth_paths[i], cfg.depth_unit_scale, d)
+        lambda i: load_depth(scene.mono_depth_paths[i], unit, d)
         * scene.scale)
     normals = maybe_stack(
         scene.normal_paths,

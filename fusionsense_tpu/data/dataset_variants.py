@@ -51,7 +51,8 @@ def _normalize_poses(c2w: np.ndarray, cfg: DataParserConfig):
 
 def _build_scene(c2w_cv, fx, fy, cx, cy, width, height, image_paths,
                  depth_paths, cfg, normal_paths=None, mask_paths=None,
-                 mono_depth_paths=None, test_every: int = 8):
+                 mono_depth_paths=None, test_every: int = 8,
+                 depth_unit_scale=None):
     c2w_cv, translate, scale = _normalize_poses(np.asarray(c2w_cv), cfg)
     w2c = np.linalg.inv(c2w_cv).astype(np.float32)
     n = len(image_paths)
@@ -70,6 +71,7 @@ def _build_scene(c2w_cv, fx, fy, cx, cy, width, height, image_paths,
         mask_paths=list(mask_paths) if mask_paths else none,
         train_idx=train, val_idx=test, test_idx=test,
         translate=translate, scale=scale,
+        depth_unit_scale=depth_unit_scale,
     )
 
 
@@ -88,12 +90,10 @@ def parse_replica(cfg: DataParserConfig, test_every: int = 8) -> ParsedScene:
                     key=lambda p: natsort_key(p.name))
     n = min(len(frames), len(traj))
     fp = REPLICA_FOCAL
-    dcfg = DataParserConfig(
-        **{**cfg.__dict__, "depth_unit_scale": REPLICA_DEPTH_SCALE})
     return _build_scene(
         traj[:n], fp["fx"], fp["fy"], fp["cx"], fp["cy"], fp["w"], fp["h"],
-        frames[:n], depths[:n] if depths else None, dcfg,
-        test_every=test_every)
+        frames[:n], depths[:n] if depths else None, cfg,
+        test_every=test_every, depth_unit_scale=REPLICA_DEPTH_SCALE)
 
 
 # --------------------------------------------------------------- mushroom --

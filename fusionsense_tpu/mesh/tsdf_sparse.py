@@ -145,7 +145,13 @@ class SparseTSDF:
     # ------------------------------------------------------- extraction --
     def extract_mesh(self):
         """Per-brick marching tetrahedra. Returns (verts (V, 3) world,
-        faces (F, 3))."""
+        faces (F, 3)).
+
+        Voxels are grouped into bricks with ONE global sort of
+        (brick_key, voxel) pairs — each voxel joins its own brick plus the
+        aprons of up to 7 neighbors (boundary coords only) — instead of a
+        per-brick scan of the whole hash (that form was quadratic: a
+        room-scale volume has 10^4 bricks x 10^7 voxels)."""
         from fusionsense_tpu.mesh.marching import marching_tetrahedra
 
         cfg = self.cfg
@@ -153,19 +159,46 @@ class SparseTSDF:
         occ = self.weight >= cfg.min_weight
         if not occ.any():
             return np.zeros((0, 3)), np.zeros((0, 3), np.int64)
-        ijk = _unpack(self.keys)
-        bricks = np.unique(_pack(np.floor_divide(ijk[occ], Bk)))
+        ijk = _unpack(self.keys)[occ]
+        tsdf = self.tsdf[occ]
+        own = np.floor_divide(ijk, Bk)                      # (N, 3)
+        # per-axis apron membership: voxel also feeds brick-1 when it is a
+        # low-boundary coord (c % Bk == 0), brick+1 when high (== Bk - 1)
+        rem = ijk - own * Bk
+        ext = np.where(rem == 0, -1, np.where(rem == Bk - 1, 1, 0))  # (N,3)
+        rows, bkeys = [], []
+        idx = np.arange(len(ijk))
+        for cx in (0, 1):
+            for cy in (0, 1):
+                for cz in (0, 1):
+                    combo = np.array([cx, cy, cz])
+                    off = ext * combo                       # (N, 3)
+                    valid = np.all((combo == 0) | (ext != 0), axis=1)
+                    if not valid.any():
+                        continue
+                    rows.append(idx[valid])
+                    bkeys.append(_pack(own[valid] + off[valid]))
+        rows = np.concatenate(rows)
+        bkeys = np.concatenate(bkeys)
+        order = np.argsort(bkeys, kind="stable")
+        rows, bkeys = rows[order], bkeys[order]
+        starts = np.concatenate(
+            [[0], np.nonzero(np.diff(bkeys))[0] + 1, [len(bkeys)]])
+        # only bricks that OWN at least one occupied voxel emit faces
+        own_keys = set(np.unique(_pack(own)).tolist())
+
         all_v, all_f, base = [], [], 0
         side = Bk + 2   # +1 apron each side closes surfaces across bricks
-        for bkey in bricks:
-            b0 = _unpack(np.asarray([bkey]))[0] * Bk          # brick origin
-            lo, hi = b0 - 1, b0 + Bk + 1                       # apron
-            sel = np.all((ijk >= lo) & (ijk < hi), axis=1) & occ
-            if not sel.any():
+        for s, e in zip(starts[:-1], starts[1:]):
+            bkey = bkeys[s]
+            if int(bkey) not in own_keys:
                 continue
+            sel = rows[s:e]
+            b0 = _unpack(np.asarray([bkey]))[0] * Bk          # brick origin
+            lo = b0 - 1                                        # apron
             local = ijk[sel] - lo
             field = np.ones((side, side, side), np.float32)    # unobserved
-            field[local[:, 0], local[:, 1], local[:, 2]] = self.tsdf[sel]
+            field[local[:, 0], local[:, 1], local[:, 2]] = tsdf[sel]
             verts, faces = marching_tetrahedra(
                 field, iso=0.0,
                 origin=(lo.astype(np.float64) + 0.5) * cfg.voxel_size,
