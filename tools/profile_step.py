@@ -37,9 +37,10 @@ _ap.add_argument("--blend-bf16", action="store_true",
                  help="bf16 blend matmuls in the pallas/flat kernels "
                       "(alpha math stays f32)")
 _ap.add_argument("--grad-transpose", choices=["scatter", "landing"],
-                 default="scatter",
-                 help="flat backend gradient transpose (scatter = "
-                      "segment-sum over gauss_ids, no landing map)")
+                 default="landing",
+                 help="flat backend gradient transpose (landing = the "
+                      "production default; scatter = segment-sum over "
+                      "gauss_ids, no landing map — measured slower r5)")
 _args = _ap.parse_args()
 
 WIDTH, HEIGHT = 640, 480
