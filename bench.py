@@ -141,7 +141,10 @@ def _measure_fused(tr):
         "rtt_ms": round(rtt_s * 1e3, 1),
         "t_window_500_s": round(t_a, 3),
         "t_window_2000_s": round(t_b, 3),
-        "measured_steps": WINDOW_A + WINDOW_B + DISPATCH_STEPS,
+        # steps inside the TIMED windows only; the compile dispatch that
+        # precedes them runs the same program but is not measured
+        "measured_steps": WINDOW_A + WINDOW_B,
+        "untimed_warm_steps": DISPATCH_STEPS,
         "dispatch_steps": DISPATCH_STEPS,
     }, ms
 
@@ -431,7 +434,8 @@ def _scale_bench(jax, rcfg, cams, data):
         "step_ms_slope": round(slope_ms, 3),
         "step_ms_wall": round(wall_ms, 3),
         "rtt_ms": round(rtt_s * 1e3, 1),
-        "measured_steps": 2 * DISPATCH_STEPS + DISPATCH_STEPS,
+        "measured_steps": 3 * DISPATCH_STEPS,   # timed windows (500+1000)
+        "untimed_warm_steps": DISPATCH_STEPS,
         "num_gaussians": n_alive,
         "alive_target_met": n_alive >= SCALE_ALIVE_TARGET,
         "capacity": tr.gaussians.capacity,

@@ -157,13 +157,18 @@ def fetch(dataset: str, save_dir: Path, *, keep_archives: bool = False,
     for art in artifacts:
         name = art.url.rsplit("/", 1)[-1]
         dest = save_dir / name
-        # idempotent re-runs: an already-extracted target means the archive
-        # was fetched and (by default) deleted — don't re-download multi-GB
-        # artifacts just because keep_archives=False removed them
+        # idempotent re-runs: a per-ARTIFACT sentinel written after a
+        # successful extraction means the archive was fetched and (by
+        # default) deleted — don't re-download multi-GB artifacts just
+        # because keep_archives=False removed them. The sentinel is
+        # per-archive (not per-directory): several artifacts may share an
+        # extract_to, and extract_to="" is save_dir itself, so directory
+        # non-emptiness would wrongly skip sibling artifacts.
+        marker = save_dir / f".{name}.extracted"
         if art.extract_to is not None:
             out = save_dir / art.extract_to
-            if not dest.exists() and out.is_dir() and any(out.iterdir()):
-                log(f"skipping {name}: {out} already extracted")
+            if not dest.exists() and marker.exists():
+                log(f"skipping {name}: already extracted ({marker.name})")
                 produced.append(out)
                 continue
         if not dest.exists():
@@ -181,6 +186,7 @@ def fetch(dataset: str, save_dir: Path, *, keep_archives: bool = False,
             produced.append(dest)
             continue
         _extract(dest, save_dir / art.extract_to, log=log)
+        marker.touch()
         produced.append(save_dir / art.extract_to)
         if not keep_archives:
             dest.unlink()

@@ -97,7 +97,13 @@ class SparseTSDF:
         sdf = (d[:, None] - z)                                 # (P, K)
         keep = (z > 1e-4) & (sdf > -cfg.truncation)
         obs = np.clip(sdf / cfg.truncation, -1.0, 1.0)[keep]
-        ids = _pack(np.floor(pts[keep] / cfg.voxel_size).astype(np.int64))
+        ijk = np.floor(pts[keep] / cfg.voxel_size).astype(np.int64)
+        # guard the 21-bit axis fields: a garbage depth (unit mix-up,
+        # corrupt pixel) would otherwise overflow into the neighbor axis
+        # and alias legitimate voxels
+        in_range = np.all(np.abs(ijk) < _BIAS, axis=1)
+        ids = _pack(ijk[in_range])
+        obs = obs[in_range]
         if cfg.space_carving:
             # free-space segment [near, d - trunc) at a coarse stride
             step = cfg.carve_stride * cfg.voxel_size
@@ -107,8 +113,10 @@ class SparseTSDF:
                 zc = np.broadcast_to(zc, (len(d), n_carve))
                 keep_c = zc < (d[:, None] - cfg.truncation)
                 pts_c = origin + rays_w[:, None, :] * zc[..., None]
-                ids_c = _pack(np.floor(
-                    pts_c[keep_c] / cfg.voxel_size).astype(np.int64))
+                ijk_c = np.floor(
+                    pts_c[keep_c] / cfg.voxel_size).astype(np.int64)
+                ijk_c = ijk_c[np.all(np.abs(ijk_c) < _BIAS, axis=1)]
+                ids_c = _pack(ijk_c)
                 ids = np.concatenate([ids, ids_c])
                 obs = np.concatenate(
                     [obs, np.ones(len(ids_c), np.float32)])
@@ -133,14 +141,14 @@ class SparseTSDF:
         self.weight[pos[e]] += cnt[e]
         n = np.nonzero(~exists)[0]
         if len(n):
-            new_keys = uids[n]
-            new_ts = acc[n] / cnt[n]
-            new_w = cnt[n]
-            keys = np.concatenate([self.keys, new_keys])
-            order = np.argsort(keys, kind="stable")
-            self.keys = keys[order]
-            self.tsdf = np.concatenate([self.tsdf, new_ts])[order]
-            self.weight = np.concatenate([self.weight, new_w])[order]
+            # linear merge: both arrays are sorted, so np.insert at the
+            # searchsorted positions is O(N) — a full argsort per view
+            # would be hundreds of redundant 10^7-element sorts at room
+            # scale
+            at = pos[n]
+            self.keys = np.insert(self.keys, at, uids[n])
+            self.tsdf = np.insert(self.tsdf, at, acc[n] / cnt[n])
+            self.weight = np.insert(self.weight, at, cnt[n])
 
     # ------------------------------------------------------- extraction --
     def extract_mesh(self):
@@ -184,15 +192,16 @@ class SparseTSDF:
         rows, bkeys = rows[order], bkeys[order]
         starts = np.concatenate(
             [[0], np.nonzero(np.diff(bkeys))[0] + 1, [len(bkeys)]])
-        # only bricks that OWN at least one occupied voxel emit faces
-        own_keys = set(np.unique(_pack(own)).tolist())
+        # every brick that RECEIVED a voxel (own or apron) marches: a
+        # crossing cube can be owned by a brick whose only nearby occupied
+        # voxel sits in its apron (band ending exactly at a brick
+        # boundary) — filtering to owner bricks dropped those faces and
+        # left 32-voxel-aligned seam holes (round-5 review finding)
 
         all_v, all_f, base = [], [], 0
         side = Bk + 2   # +1 apron each side closes surfaces across bricks
         for s, e in zip(starts[:-1], starts[1:]):
             bkey = bkeys[s]
-            if int(bkey) not in own_keys:
-                continue
             sel = rows[s:e]
             b0 = _unpack(np.asarray([bkey]))[0] * Bk          # brick origin
             lo = b0 - 1                                        # apron
@@ -208,8 +217,8 @@ class SparseTSDF:
             if len(faces):
                 centers = verts[faces].mean(1)
                 cell = centers / cfg.voxel_size - 0.5 - lo
-                own = np.all((cell >= 0.0) & (cell < Bk), axis=1)
-                faces = faces[own]
+                owned_faces = np.all((cell >= 0.0) & (cell < Bk), axis=1)
+                faces = faces[owned_faces]
             if len(faces):
                 used = np.unique(faces)
                 remap = np.full(len(verts), -1, np.int64)

@@ -142,7 +142,13 @@ def expected_depth(depth_acc: jax.Array, alpha: jax.Array) -> jax.Array:
     with valid sensor depth but near-zero accumulation an epsilon floor
     produces a huge-but-finite value that sails past the trainers'
     non-finite step guard (ADVICE r4). Above the floor the value is
-    exactly gsplat's; below it depth decays to 0 smoothly."""
+    exactly gsplat's; below it depth scales DOWN toward 0 (by
+    alpha/1e-3), so a sub-floor-alpha pixel reports a too-small depth
+    rather than a huge one. Consumers that need clean depth gate by
+    alpha themselves (mesh_export._render_depths uses alpha > 0.5); the
+    eval battery does NOT alpha-gate, so thin-coverage in-mask pixels
+    show up as honestly-large depth errors instead of optimistic
+    normalized values."""
     return jnp.where(alpha > 0, depth_acc / jnp.maximum(alpha, 1e-3), 0.0)
 
 

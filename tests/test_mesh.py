@@ -254,3 +254,32 @@ def test_sparse_tsdf_room_scale_fixed_voxel():
     wall_err = np.abs(np.abs(verts).max(axis=1) - 2.0)
     assert np.median(wall_err) < 0.008, float(np.median(wall_err))
     assert np.percentile(wall_err, 90) < 0.02
+
+
+def test_sparse_tsdf_brick_seam_crossing_emitted():
+    """A truncation band ending EXACTLY at a brick boundary: the crossing
+    between the last occupied voxel of brick 0 and the (unobserved) first
+    voxel of brick 1 is owned by brick 1, which owns no occupied voxel —
+    it must still march (round-5 review finding: the owner-brick filter
+    dropped these faces, leaving 32-voxel-aligned seam holes)."""
+    from fusionsense_tpu.mesh.tsdf_sparse import SparseTSDF, SparseTSDFConfig, _pack
+
+    cfg = SparseTSDFConfig(voxel_size=0.01, brick=32, min_weight=1.0)
+    vol = SparseTSDF(cfg)
+    # a small occupied slab whose +x face sits at the brick-0/1 boundary:
+    # voxels x in [28, 31], y/z in [2, 6), tsdf = -0.5 (inside)
+    xs, ys, zs = np.meshgrid(np.arange(28, 32), np.arange(2, 6),
+                             np.arange(2, 6), indexing="ij")
+    ijk = np.stack([xs, ys, zs], -1).reshape(-1, 3).astype(np.int64)
+    keys = np.sort(_pack(ijk))
+    vol.keys = keys
+    vol.tsdf = np.full(len(keys), -0.5, np.float32)
+    vol.weight = np.full(len(keys), 2.0, np.float32)
+
+    verts, faces = vol.extract_mesh()
+    assert len(faces) > 0
+    # the +x crossing lies between voxel centers x=31 and x=32 -> world
+    # x in (0.315, 0.325); faces there belong to brick 1 (owns nothing)
+    centers = verts[faces].mean(1)
+    plus_x_face = (centers[:, 0] > 0.315 - 1e-6) & (centers[:, 0] < 0.325 + 1e-6)
+    assert plus_x_face.any(), "brick-seam crossing faces are missing"
