@@ -323,9 +323,12 @@ def main():
     }
 
     # second workload row: 100k+ alive Gaussians (reference's operating
-    # population, SURVEY §5). Guarded by the remaining time budget.
+    # population, SURVEY §5). Guarded by the remaining time budget (the
+    # scale segment needs ~10 min on a warm cache; warmup compiles can
+    # eat 30 min on a bad tunnel day, so the guard is generous and the
+    # retry wrapper's timeout covers the sum).
     try:
-        if time.time() - _T_START < 1500:
+        if time.time() - _T_START < 3300:
             extra["scale"] = _scale_bench(jax, rcfg, cams, data)
         else:
             extra["scale"] = {"skipped": "time budget exhausted before "
@@ -462,7 +465,7 @@ def _probe_tunnel(timeout_s: int = 120) -> bool:
         return False
 
 
-def main_with_retry(budget_s: float = 2400.0, bench_timeout_s: int = 3000):
+def main_with_retry(budget_s: float = 6000.0, bench_timeout_s: int = 5400):
     """Bounded retry-with-reinit: a transient tunnel outage degrades to a
     late number instead of an empty round. Each attempt is a FRESH process
     (a failed backend init poisons the in-process jax client), gated by a
