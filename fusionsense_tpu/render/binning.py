@@ -28,6 +28,7 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 
 class TileBins(NamedTuple):
@@ -194,6 +195,20 @@ class FlatBins(NamedTuple):
     #                         exceed pair_budget — feeds the budget policy)
 
 
+def auto_expand_budget(pair_budget: int, n: int,
+                       max_tiles_per_gaussian: int,
+                       block: int = 128) -> int | None:
+    """Compact-expansion budget for the production callers: 1.5x the pair
+    budget (which the trainer's policy already sizes at ~1.25x the live
+    pair population, so ~1.9x live), block-rounded — or None when the
+    dense N*C enumeration is already at least as small (bench-scale
+    populations, where the sort is pass-latency-bound anyway,
+    DESIGN.md §5d-pre)."""
+    win = max(1, int(math.isqrt(max_tiles_per_gaussian)))
+    eb = -(-(pair_budget * 3 // 2) // block) * block
+    return eb if eb < n * win * win else None
+
+
 def flat_bin_gaussians(
     mean2d: jax.Array,
     radius: jax.Array,
@@ -208,6 +223,7 @@ def flat_bin_gaussians(
     tile_lo=0,
     num_tiles_local: int | None = None,
     compute_landing: bool = True,
+    expand_budget: int | None = None,
 ) -> FlatBins:
     """Depth-sorted pairs laid out as block-aligned per-tile segments.
 
@@ -222,6 +238,23 @@ def flat_bin_gaussians(
     full N*C sort plus three N*C scans — for callers whose gradient
     transpose runs as a segment-sum over gauss_ids instead
     (rasterize._flat_select_scatter); landing comes back None.
+
+    expand_budget (static) < N*C switches the pair enumeration from the
+    dense window product (N*C rows, mostly dead at large N: culled
+    gaussians and window slots beyond each bbox) to a COMPACT live-pair
+    array of that many rows: an exclusive cumsum of per-gaussian live
+    counts assigns contiguous segments, a scatter+cummax maps rows back to
+    their gaussian, and a (rank, width) lookup table recovers each pair's
+    window slot. Every sort and scan downstream then runs over
+    expand_budget rows instead of N*C — the lever that matters in the
+    100k+-alive regime, where N*C is 3-4x the live pair population
+    (docs/DESIGN.md §5f). Live pairs keep the dense enumeration's exact
+    order (gaussian-major, window-slot minor), so all outputs are
+    IDENTICAL to the dense path as long as nothing is dropped; pairs past
+    the budget are dropped gaussian-id-major, counted into `overflow`,
+    and `used` reports the true need so the trainer's budget policy grows
+    both budgets together (rasterize.py sizes expand_budget off
+    pair_budget).
     """
     N = mean2d.shape[0]
     tiles_x = -(-width // tile_size)
@@ -256,13 +289,6 @@ def flat_bin_gaussians(
     bw = tx1 - tx0 + 1
     bh = ty1 - ty0 + 1
 
-    dx = jnp.arange(win, dtype=jnp.int32)
-    dy = jnp.arange(win, dtype=jnp.int32)
-    tile_id = ((ty0[:, None, None] + dy[None, :, None]) * tiles_x
-               + tx0[:, None, None] + dx[None, None, :])
-    pair_ok = (valid[:, None, None]
-               & (dy[None, :, None] < bh[:, None, None])
-               & (dx[None, None, :] < bw[:, None, None]))
     cover = jnp.where(valid, jnp.maximum(bw, 0) * jnp.maximum(bh, 0), 0)
     truncated = jnp.sum(
         cover - jnp.where(valid,
@@ -272,14 +298,64 @@ def flat_bin_gaussians(
             valid, jnp.minimum(bw, w) * jnp.minimum(bh, w), 0))
         for w in range(1, 6)])
 
-    local_id = tile_id - tile_lo
-    pair_ok = pair_ok & (local_id >= 0) & (local_id < num_tiles)
-    lid = jnp.clip(local_id, 0, num_tiles - 1)
-    key = jnp.where(pair_ok,
-                    (lid << depth_bits) | rank[:, None, None],
-                    jnp.int32((num_tiles << depth_bits)))
-    flat_key = key.reshape(-1)
-    pair_ids = jax.lax.iota(jnp.int32, N * C)
+    use_compact = expand_budget is not None and expand_budget < N * C
+    if use_compact:
+        EB = expand_budget
+        w_live = jnp.where(valid, jnp.minimum(bw, win), 0)
+        h_live = jnp.where(valid, jnp.minimum(bh, win), 0)
+        c_live = w_live * h_live                              # (N,)
+        S = (jnp.cumsum(c_live) - c_live).astype(jnp.int32)   # exclusive
+        total_live = (S[-1] + c_live[-1]).astype(jnp.int32)
+        # row -> gaussian: scatter each live gaussian's id at its segment
+        # start, then cummax fills the segment (cheaper than an EB-row
+        # binary search into S — one N-row scatter + one EB scan)
+        start_ok = (c_live > 0) & (S < EB)
+        gid = jax.lax.iota(jnp.int32, N)
+        seg_mark = jnp.full((EB,), -1, jnp.int32).at[
+            jnp.where(start_ok, S, EB)].max(
+            jnp.where(start_ok, gid, -1), mode="drop")
+        g_of = jnp.maximum(jax.lax.cummax(seg_mark), 0)       # (EB,)
+        j = jax.lax.iota(jnp.int32, EB)
+        r = j - S[g_of]                                       # live rank
+        live = j < total_live
+        # (rank, live-width) -> packed window slot dy*8+dx; r < win^2 <= 25
+        # and w in [0, win] make this a tiny static table, one 1-D gather
+        lut = np.zeros((win * win, win + 1), np.int32)
+        for wv in range(1, win + 1):
+            for rv in range(win * win):
+                lut[rv, wv] = (rv // wv) * 8 + (rv % wv)
+        packed = jnp.asarray(lut.reshape(-1))[
+            jnp.clip(r, 0, win * win - 1) * (win + 1) + w_live[g_of]]
+        dy_c = packed >> 3
+        dx_c = packed & 7
+        local_c = ((ty0[g_of] + dy_c) * tiles_x
+                   + tx0[g_of] + dx_c - tile_lo)
+        pair_live = live & (local_c >= 0) & (local_c < num_tiles)
+        lid_c = jnp.clip(local_c, 0, num_tiles - 1)
+        flat_key = jnp.where(pair_live,
+                             (lid_c << depth_bits) | rank[g_of],
+                             jnp.int32(num_tiles << depth_bits))
+        n_pairs = EB
+        expand_dropped = jnp.maximum(total_live - EB, 0)
+    else:
+        dx = jnp.arange(win, dtype=jnp.int32)
+        dy = jnp.arange(win, dtype=jnp.int32)
+        tile_id = ((ty0[:, None, None] + dy[None, :, None]) * tiles_x
+                   + tx0[:, None, None] + dx[None, None, :])
+        pair_ok = (valid[:, None, None]
+                   & (dy[None, :, None] < bh[:, None, None])
+                   & (dx[None, None, :] < bw[:, None, None]))
+        local_id = tile_id - tile_lo
+        pair_ok = pair_ok & (local_id >= 0) & (local_id < num_tiles)
+        lid = jnp.clip(local_id, 0, num_tiles - 1)
+        key = jnp.where(pair_ok,
+                        (lid << depth_bits) | rank[:, None, None],
+                        jnp.int32((num_tiles << depth_bits)))
+        flat_key = key.reshape(-1)
+        n_pairs = N * C
+        expand_dropped = jnp.zeros((), jnp.int32)
+
+    pair_ids = jax.lax.iota(jnp.int32, n_pairs)
     sorted_key, sorted_pair = jax.lax.sort_key_val(flat_key, pair_ids)
     sorted_tile = sorted_key >> depth_bits
 
@@ -314,8 +390,11 @@ def flat_bin_gaussians(
     blk_sorted_start = starts[t_of] + (bs - astarts[t_of])
     sorted_pos = jnp.clip(
         blk_sorted_start[:, None] + jnp.arange(B, dtype=jnp.int32)[None, :],
-        0, N * C - 1).reshape(-1)
-    gauss_ids = sorted_pair[sorted_pos] // C
+        0, n_pairs - 1).reshape(-1)
+    if use_compact:
+        gauss_ids = g_of[sorted_pair[sorted_pos]]
+    else:
+        gauss_ids = sorted_pair[sorted_pos] // C
     slot_in_blk = jnp.tile(jnp.arange(B, dtype=jnp.int32), nb)
     valid_flat = slot_in_blk < jnp.repeat(blk_count, B)
 
@@ -325,14 +404,14 @@ def flat_bin_gaussians(
     # block-aligned segment lengths — identical to astarts by construction)
     landing = None
     if compute_landing:
-        i = jax.lax.iota(jnp.int32, N * C)
+        i = jax.lax.iota(jnp.int32, n_pairs)
         is_start = jnp.concatenate([
             jnp.ones((1,), jnp.bool_), sorted_tile[1:] != sorted_tile[:-1]])
         seg_head = jax.lax.cummax(jnp.where(is_start, i, 0))
         # next segment head strictly after i (reverse cummin of head indices)
-        head_or_inf = jnp.where(is_start, i, N * C)
+        head_or_inf = jnp.where(is_start, i, n_pairs)
         nh_incl = jnp.flip(jax.lax.cummin(jnp.flip(head_or_inf)))
-        nh = jnp.concatenate([nh_incl[1:], jnp.full((1,), N * C, jnp.int32)])
+        nh = jnp.concatenate([nh_incl[1:], jnp.full((1,), n_pairs, jnp.int32)])
         seg_alen = jnp.where(is_start, ((nh - i + B - 1) // B) * B, 0)
         astart_head = jnp.cumsum(seg_alen) - seg_alen          # exclusive
         astart_elem = jax.lax.cummax(
@@ -341,10 +420,30 @@ def flat_bin_gaussians(
         ok = (sorted_tile < num_tiles) & (flat_pos < PB)
         landing_sorted = jnp.where(ok, flat_pos, -1)
         _, landing_flat = jax.lax.sort_key_val(sorted_pair, landing_sorted)
-        landing = landing_flat.reshape(N, C)
+        if use_compact:
+            # re-assemble the (N, C) pair->slot map from the compact rows:
+            # window slot (dy, dx) of gaussian g is live rank dy*w + dx at
+            # compact position S[g] + rank — one (N, C) gather from EB rows
+            dy_s = jnp.arange(win, dtype=jnp.int32).repeat(win)[None, :]
+            dx_s = jnp.tile(jnp.arange(win, dtype=jnp.int32), win)[None, :]
+            rr = dy_s * w_live[:, None] + dx_s
+            slot_live = (dy_s < h_live[:, None]) & (dx_s < w_live[:, None])
+            pos = S[:, None] + rr
+            in_eb = slot_live & (pos < EB)
+            landing = jnp.where(
+                in_eb, landing_flat[jnp.clip(pos, 0, EB - 1)], -1)
+        else:
+            landing = landing_flat.reshape(N, C)
+
+    used = total_aligned
+    if use_compact:
+        # when the expand budget truncates, per-tile counts undercount the
+        # true need — report it so the budget policy grows next sync
+        used = jnp.maximum(total_aligned, total_live)
+        overflow = overflow + expand_dropped
 
     return FlatBins(gauss_ids=gauss_ids, valid=valid_flat,
                     blk_tile=blk_tile, blk_first=blk_first,
                     blk_count=blk_count.astype(jnp.int32), landing=landing,
                     overflow=overflow, truncated=truncated,
-                    trunc_by_win=trunc_by_win, used=total_aligned)
+                    trunc_by_win=trunc_by_win, used=used)

@@ -246,7 +246,8 @@ def rasterize(
     )  # (N, 7)
 
     if cfg.backend == "flat":
-        from fusionsense_tpu.render.binning import flat_bin_gaussians
+        from fusionsense_tpu.render.binning import (
+            auto_expand_budget, flat_bin_gaussians)
         from fusionsense_tpu.render.pallas_flat import flat_composite
 
         B = cfg.pallas_chunk
@@ -265,6 +266,8 @@ def rasterize(
                 tile_size=cfg.tile_size, pair_budget=PB,
                 max_tiles_per_gaussian=cfg.max_tiles_per_gaussian, block=B,
                 compute_landing=cfg.flat_grad_transpose != "scatter",
+                expand_budget=auto_expand_budget(
+                    PB, N, cfg.max_tiles_per_gaussian, B),
             )
         # the gradient transpose must match what the layout provides
         use_scatter = (cfg.flat_grad_transpose == "scatter"

@@ -275,7 +275,8 @@ def _bin_cache_fns(cfg: ExperimentConfig, camera: Camera, nv: int,
     import math as _math
 
     from fusionsense_tpu.core.transforms import apply_se3_delta as _se3
-    from fusionsense_tpu.render.binning import FlatBins, flat_bin_gaussians
+    from fusionsense_tpu.render.binning import (
+        FlatBins, auto_expand_budget as _auto_eb, flat_bin_gaussians)
     from fusionsense_tpu.render.composite import TileGrid
     from fusionsense_tpu.render.project import project_gaussians
 
@@ -326,7 +327,8 @@ def _bin_cache_fns(cfg: ExperimentConfig, camera: Camera, nv: int,
             width=camera.width, height=camera.height,
             tile_size=rc.tile_size, pair_budget=PB,
             max_tiles_per_gaussian=rc.max_tiles_per_gaussian, block=B,
-            compute_landing=want_landing)
+            compute_landing=want_landing,
+            expand_budget=_auto_eb(PB, N, rc.max_tiles_per_gaussian, B))
 
     return empty_bins, bin_one
 

@@ -41,10 +41,20 @@ _ap.add_argument("--grad-transpose", choices=["scatter", "landing"],
                  help="flat backend gradient transpose (landing = the "
                       "production default; scatter = segment-sum over "
                       "gauss_ids, no landing map — measured slower r5)")
+_ap.add_argument("--seed-n", type=int, default=30_000,
+                 help="seed population (bench flagship ~30k; the scale "
+                      "row seeds 150k — pass 150000 with --capacity "
+                      "262144 to probe the 100k+-alive regime)")
+_ap.add_argument("--capacity", type=int, default=1 << 16,
+                 help="padded Gaussian capacity (power-of-two bucket)")
+_ap.add_argument("--cover", type=int, default=None,
+                 help="force the tile-cover window (pairs per gaussian; "
+                      "the trainer policy needs a settled run to pick "
+                      "this — pass the bench's settled value, e.g. 9)")
 _args = _ap.parse_args()
 
 WIDTH, HEIGHT = 640, 480
-CAP = 1 << 16
+CAP = _args.capacity
 REPS = 20
 
 _cap0 = _args.tile_capacity or (512 if _args.backend == "flat" else 1024)
@@ -54,7 +64,7 @@ rcfg = RasterizeConfig(tile_size=32, tile_capacity=_cap0,
                        blend_bf16=_args.blend_bf16,
                        flat_grad_transpose=_args.grad_transpose)
 cams = ring_cameras(n_views=9, width=WIDTH, height_px=HEIGHT, focal=550.0)
-pts, rgb, normals = sphere_points(n=30000, radius=0.5)
+pts, rgb, normals = sphere_points(n=_args.seed_n, radius=0.5)
 g = init_from_points(pts, rgb, capacity=CAP, sh_degree=3,
                      seed_normals=normals, init_opacity=0.95)
 cam0 = cams.index(0)
@@ -69,6 +79,8 @@ cfg = ExperimentConfig(
     train=TrainConfig(iterations=15000, scan_chunk=REPS, adc=ADCConfig()),
     loss=LossConfig())
 tr = Trainer(cfg, cams, data, g)
+if _args.cover is not None:
+    tr.cover_tiles = _args.cover
 
 f = tr._train_chunk
 args = (tr.gaussians, tr.opt, tr.cam_state, tr.stats, jnp.int32(600),
@@ -119,13 +131,15 @@ _T = (-(-WIDTH // rcfg.tile_size)) * (-(-HEIGHT // rcfg.tile_size))
 
 def binning_only(mean2d, radius, depth, carry):
     if rcfg.backend == "flat":
+        from fusionsense_tpu.render.binning import auto_expand_budget
         pb = -(-tr.tile_capacity * _T // 128) * 128   # mirror rasterize.py
         want_landing = rcfg.flat_grad_transpose != "scatter"
         b = flat_bin_gaussians(
             mean2d + carry, radius, depth, width=WIDTH, height=HEIGHT,
             tile_size=rcfg.tile_size, pair_budget=pb,
             max_tiles_per_gaussian=tr.cover_tiles,
-            compute_landing=want_landing)
+            compute_landing=want_landing,
+            expand_budget=auto_expand_budget(pb, N, tr.cover_tiles))
         acc = b.gauss_ids.sum() + (b.landing.sum() if want_landing else 0)
         return acc.astype(jnp.float32)
     b = bin_gaussians(mean2d + carry, radius, depth, width=WIDTH,
@@ -221,3 +235,23 @@ def opt_stats(params, carry):
 
 
 print(f"{'adam + stats':42s} {scan_reps(opt_stats, params0):8.3f} ms")
+
+
+# ---- ADC refine + alive-first compaction (fires every refine_every) ------
+from fusionsense_tpu.gaussians.adc import refine  # noqa: E402
+from fusionsense_tpu.gaussians.resize import compact_train_state  # noqa: E402
+
+
+def refine_compact(params, carry):
+    g2 = tr.gaussians.replace_params(
+        {k: (v + carry if k == "means" else v) for k, v in params.items()})
+    g2, o2, st2, _ = refine(g2, tr.opt, tr.stats,
+                            jax.random.PRNGKey(0), cfg.train.adc,
+                            jnp.int32(600), scene_scale=tr.scene_scale)
+    g2, o2, st2 = compact_train_state(g2, o2, st2)
+    return g2.means.sum() + o2.m["means"].sum()
+
+
+_rc_ms = scan_reps(refine_compact, params0)
+print(f"{'refine + compact (per firing)':42s} {_rc_ms:8.3f} ms"
+      f"   (amortized {_rc_ms / cfg.train.adc.refine_every:6.3f} ms/step)")
